@@ -1,0 +1,344 @@
+"""Wavefront path tracer: the TPU-native forward pass.
+
+Re-design of the reference's per-pixel recursive/iterative ``cast_ray``
+(renderer.cpp:213-262) and tile scheduler (renderer.cpp:264-471): instead of
+8 CPU threads pulling tiles off an atomic queue, ALL rays advance together
+through a ``lax.scan`` over bounces — intersect, resolve, shade, respawn —
+with masking for terminated paths. Tiling/sharding happens a level up
+(atray_tpu/dist) by slicing the flat ray axis over the device mesh.
+
+Differentiation seam (the architecture's key decision): the *discrete* part
+of intersection (which primitive is nearest) is isolated in
+``nearest_hit_ids`` and treated as non-differentiable — it may be brute
+force, BVH traversal, or a Pallas kernel. The *continuous* part
+(``resolve_hit``: t, barycentrics, normal recomputed from the chosen
+primitive id) is differentiable w.r.t. vertices/normals, and shading is
+differentiable w.r.t. materials. Gradients therefore follow the
+detached-visibility convention (no derivative through silhouette changes),
+which the CPU oracle (tests/oracle.py) mirrors exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from atray_tpu.config import RenderSettings
+from atray_tpu.core.camera import Camera, camera_rays
+from atray_tpu.core.intersect import (
+    INF,
+    dot,
+    first_triangle_hit,
+    moller_trumbore,
+    normalize,
+    plane_hits,
+    reflect,
+    sphere_hits,
+)
+from atray_tpu.scene.data import Scene
+
+# Primitive type codes in hit records (reference IntersectionData.type,
+# renderer.cpp:12-25).
+PRIM_NONE = 0
+PRIM_TRI = 1
+PRIM_SPHERE = 2
+PRIM_PLANE = 3
+
+
+class HitIds(NamedTuple):
+    """Discrete outcome of a nearest-hit query. ``t`` is carried for
+    diagnostics/compaction but is recomputed differentiably by
+    ``resolve_hit``."""
+
+    prim_type: jnp.ndarray  # (R,) i32 in {NONE, TRI, SPHERE, PLANE}
+    prim_id: jnp.ndarray    # (R,) i32 index within its class (-1 if none)
+    t: jnp.ndarray          # (R,) f32 (INF on miss) — non-differentiable
+
+
+def nearest_hit_ids(
+    scene: Scene,
+    orig: jnp.ndarray,
+    dirn: jnp.ndarray,
+    accel=None,
+) -> HitIds:
+    """Nearest primitive per ray across all classes.
+
+    Equivalent of the reference's get_intersection_data dispatch
+    (renderer.cpp:34-107): triangles (brute force here; BVH when ``accel``
+    is given), then spheres, then planes, keeping the global minimum t.
+    Entirely non-differentiable by intent (wrapped in stop_gradient).
+    """
+    orig = jax.lax.stop_gradient(orig)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = orig.shape[0]
+    best_t = jnp.full((r,), INF)
+    best_type = jnp.zeros((r,), jnp.int32)
+    best_id = jnp.full((r,), -1, jnp.int32)
+
+    if scene.mesh.num_faces > 0:
+        if accel is not None:
+            from atray_tpu.accel.traverse import bvh_first_hit
+
+            t, _, _, tid = bvh_first_hit(accel, scene, orig, dirn)
+        else:
+            p0, e1, e2 = scene.triangle_soa()
+            t, _, _, tid = first_triangle_hit(orig, dirn, p0, e1, e2)
+        closer = t < best_t
+        best_t = jnp.where(closer, t, best_t)
+        best_type = jnp.where(closer, PRIM_TRI, best_type)
+        best_id = jnp.where(closer, tid, best_id)
+
+    if scene.spheres.count > 0:
+        t, sid = sphere_hits(orig, dirn, scene.spheres.centers, scene.spheres.radii)
+        closer = t < best_t
+        best_t = jnp.where(closer, t, best_t)
+        best_type = jnp.where(closer, PRIM_SPHERE, best_type)
+        best_id = jnp.where(closer, sid, best_id)
+
+    if scene.planes.count > 0:
+        t, pid = plane_hits(orig, dirn, scene.planes.normals, scene.planes.offsets)
+        closer = t < best_t
+        best_t = jnp.where(closer, t, best_t)
+        best_type = jnp.where(closer, PRIM_PLANE, best_type)
+        best_id = jnp.where(closer, pid, best_id)
+
+    best_type = jax.lax.stop_gradient(best_type)
+    best_id = jax.lax.stop_gradient(best_id)
+    best_t = jax.lax.stop_gradient(best_t)
+    return HitIds(best_type, best_id, best_t)
+
+
+def resolve_hit(
+    scene: Scene,
+    orig: jnp.ndarray,
+    dirn: jnp.ndarray,
+    ids: HitIds,
+):
+    """Differentiable recompute of the hit from its discrete ids.
+
+    Returns (t, shading_normal, material_id, hit_mask). The shading normal is
+    geometric-flat or smooth-interpolated for triangles (reference
+    renderer.cpp:110-149), oriented to face the incoming ray; gradients flow
+    to vertices (via Möller–Trumbore partials) and vertex normals.
+    """
+    r = orig.shape[0]
+    t = jnp.full((r,), INF)
+    normal = jnp.zeros((r, 3))
+    mat = jnp.zeros((r,), jnp.int32)  # 0 = skybox
+
+    is_tri = ids.prim_type == PRIM_TRI
+    is_sph = ids.prim_type == PRIM_SPHERE
+    is_pln = ids.prim_type == PRIM_PLANE
+
+    if scene.mesh.num_faces > 0:
+        fid = jnp.clip(ids.prim_id, 0, scene.mesh.num_faces - 1)
+        v = scene.mesh.vertices
+        f = scene.mesh.faces[fid]                      # (R, 3)
+        p0 = v[f[:, 0]]
+        e1 = v[f[:, 1]] - p0
+        e2 = v[f[:, 2]] - p0
+        tt, u, vv, _ = moller_trumbore(orig, dirn, p0, e1, e2)
+        flat_n = normalize(jnp.cross(e1, e2))
+        nidx = scene.mesh.face_normal_idx[fid]          # (R, 3)
+        has_smooth = nidx[:, 0] >= 0
+        ncl = jnp.clip(nidx, 0, scene.mesh.normals.shape[0] - 1)
+        n0 = scene.mesh.normals[ncl[:, 0]]
+        n1 = scene.mesh.normals[ncl[:, 1]]
+        n2 = scene.mesh.normals[ncl[:, 2]]
+        w0 = (1.0 - u - vv)[:, None]
+        smooth_n = normalize(w0 * n0 + u[:, None] * n1 + vv[:, None] * n2)
+        tri_n = jnp.where(has_smooth[:, None], smooth_n, flat_n)
+        t = jnp.where(is_tri, tt, t)
+        normal = jnp.where(is_tri[:, None], tri_n, normal)
+        mat = jnp.where(is_tri, scene.mesh.material_id[fid], mat)
+
+    if scene.spheres.count > 0:
+        sid = jnp.clip(ids.prim_id, 0, scene.spheres.count - 1)
+        c = scene.spheres.centers[sid]
+        rad = scene.spheres.radii[sid]
+        oc = orig - c
+        b = dot(oc, dirn)
+        csq = dot(oc, oc) - rad * rad
+        disc = jnp.maximum(b * b - csq, 0.0)
+        sq = jnp.sqrt(disc)
+        t0 = -b - sq
+        t1 = -b + sq
+        ts = jnp.where(t0 > 1e-4, t0, t1)
+        sph_n = normalize(orig + ts[:, None] * dirn - c)
+        t = jnp.where(is_sph, ts, t)
+        normal = jnp.where(is_sph[:, None], sph_n, normal)
+        mat = jnp.where(is_sph, scene.spheres.material_id[sid], mat)
+
+    if scene.planes.count > 0:
+        pid = jnp.clip(ids.prim_id, 0, scene.planes.count - 1)
+        pn = scene.planes.normals[pid]
+        po = scene.planes.offsets[pid]
+        denom = dot(dirn, pn)
+        safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+        tp = (po - dot(orig, pn)) / safe
+        t = jnp.where(is_pln, tp, t)
+        normal = jnp.where(is_pln[:, None], pn, normal)
+        mat = jnp.where(is_pln, scene.planes.material_id[pid], mat)
+
+    hit = ids.prim_type != PRIM_NONE
+    return t, normal, jnp.where(hit, mat, 0), hit
+
+
+def _bounce_dir(
+    dirn: jnp.ndarray,
+    normal: jnp.ndarray,
+    scatter: jnp.ndarray,   # (R,)
+    uni: jnp.ndarray,       # (R, 3) uniforms in [-1, 1]
+) -> jnp.ndarray:
+    """Next-bounce direction: lerp(diffuse_jitter, mirror, scatter).
+
+    Reference renderer.cpp:240-248: ``random_bounce`` = normalize(normal +
+    uniform-cube jitter), ``pure_bounce`` = mirror reflection; blend by the
+    material's scatter. (Not cosine-importance sampling — capability parity
+    with the reference's BRDF model; the oracle shares the convention.)
+    """
+    random_bounce = normalize(normal + uni)
+    pure_bounce = reflect(dirn, normal)
+    return normalize(
+        random_bounce + (pure_bounce - random_bounce) * scatter[:, None]
+    )
+
+
+def trace_radiance(
+    scene: Scene,
+    orig: jnp.ndarray,         # (R, 3)
+    dirn: jnp.ndarray,         # (R, 3) unit
+    bounce_limit: int,
+    key: Optional[jax.Array] = None,
+    uniforms: Optional[jnp.ndarray] = None,   # (B, R, 3) in [-1, 1]
+    accel=None,
+) -> jnp.ndarray:
+    """Path-trace each ray to its radiance (R, 3).
+
+    The bounce loop is a ``lax.scan`` (reference hot loop 3,
+    renderer.cpp:222-259). Stochastic bounce jitter comes either from
+    ``uniforms`` (explicit, for oracle comparison) or is drawn per bounce
+    from ``fold_in(key, bounce)`` — both paths produce identical numbers for
+    the same key (see ``draw_bounce_uniforms``).
+
+    Shading convention (shared with tests/oracle.py):
+    - miss -> color += weight * emission[material 0], terminate;
+    - hit  -> attenuation = dot(-d, n), but 0 if the normal had to be
+      flipped (backface) — reference renderer.cpp:233-238;
+      color += weight * emission[m]; weight *= albedo[m] * attenuation.
+    """
+    r = orig.shape[0]
+    if uniforms is None and key is None:
+        raise ValueError("need key or uniforms for stochastic bounces")
+
+    em = scene.materials.emission
+    al = scene.materials.albedo
+    sc = scene.materials.scatter
+    sky = em[0]
+
+    # Per-bounce jitter: explicit ``uniforms`` ride in as scan xs (oracle
+    # path); otherwise drawn per bounce from fold_in(key, b) — bit-identical
+    # to draw_bounce_uniforms(key, ...) for the same key, without ever
+    # materializing the (B, R, 3) tensor (8 GB at 1080p/64spp/5 bounces).
+    def body(state, xs):
+        if uniforms is not None:
+            _, uni = xs
+        else:
+            b = xs
+            uni = jax.random.uniform(
+                jax.random.fold_in(key, b), (r, 3), jnp.float32, -1.0, 1.0
+            )
+        o, d, weight, color, alive = state
+        ids = nearest_hit_ids(scene, o, d, accel=accel)
+        t, n, mat, hit = resolve_hit(scene, o, d, ids)
+
+        miss_now = alive & ~hit
+        color = color + jnp.where(miss_now[:, None], weight * sky, 0.0)
+
+        live_hit = alive & hit
+        cos_in = dot(-d, n)
+        backface = cos_in < 0.0
+        n_o = jnp.where(backface[:, None], -n, n)
+        atten = jnp.where(backface, 0.0, cos_in)
+
+        color = color + jnp.where(live_hit[:, None], weight * em[mat], 0.0)
+        weight = jnp.where(
+            live_hit[:, None], weight * al[mat] * atten[:, None], weight
+        )
+
+        new_d = _bounce_dir(d, n_o, sc[mat], uni)
+        # t is INF on misses; zero it before use so the untaken where-branch
+        # stays finite (INF * 0 -> NaN would poison reverse-mode grads).
+        t_safe = jnp.where(hit, t, 0.0)
+        hit_p = o + t_safe[:, None] * d
+        o = jnp.where(live_hit[:, None], hit_p, o)
+        d = jnp.where(live_hit[:, None], new_d, d)
+        alive = live_hit
+        return (o, d, weight, color, alive), None
+
+    if uniforms is not None:
+        xs = (jnp.arange(bounce_limit), uniforms)
+    else:
+        xs = jnp.arange(bounce_limit)
+
+    init = (
+        orig,
+        dirn,
+        jnp.ones((r, 3)),
+        jnp.zeros((r, 3)),
+        jnp.ones((r,), bool),
+    )
+    (o, d, weight, color, alive), _ = jax.lax.scan(body, init, xs)
+    return color
+
+
+def draw_bounce_uniforms(key: jax.Array, bounces: int, num_rays: int) -> jnp.ndarray:
+    """(B, R, 3) uniforms in [-1, 1], bounce b drawn from fold_in(key, b).
+
+    Exported so the CPU oracle can consume the exact numbers the device
+    path uses (counter-based keys replace the reference's per-thread
+    rdtsc*tid seeding, pl_utils_win32.cpp:10-15 — bit-reproducible runs).
+    """
+    return jnp.stack(
+        [
+            jax.random.uniform(
+                jax.random.fold_in(key, b), (num_rays, 3), jnp.float32, -1.0, 1.0
+            )
+            for b in range(bounces)
+        ]
+    )
+
+
+def render(
+    scene: Scene,
+    camera: Camera,
+    settings: RenderSettings,
+    key: jax.Array,
+    accel=None,
+    uniforms: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Full forward render -> linear-RGB film (H, W, 3) in [0, 1].
+
+    Equivalent of the reference's start_render_from_camera + per-tile loops
+    (renderer.cpp:294-366): camera-ray generation with optional AA jitter,
+    spp averaging, clamp. Output is linear (the reference's sRGB conversion
+    is commented out, renderer.cpp:361-362; use film.linear_to_srgb).
+    """
+    w, h = settings.resolution
+    spp = settings.samples_per_pixel
+    aa_key, bounce_key = jax.random.split(key)
+    orig, dirn = camera_rays(
+        camera, w, h, spp,
+        key=aa_key if settings.anti_aliasing else None,
+        anti_aliasing=settings.anti_aliasing,
+    )
+    color = trace_radiance(
+        scene, orig, dirn, settings.bounce_limit,
+        key=bounce_key, uniforms=uniforms, accel=accel,
+    )
+    film = color.reshape(spp, h, w, 3).mean(axis=0)
+    return jnp.clip(film, 0.0, 1.0)

@@ -1,0 +1,133 @@
+"""Procedural test/benchmark meshes.
+
+The reference ships binary OBJ assets (Cube 12 tris, Deer 1,570, Monkey 3,936,
+Dragon 139k — BASELINE.md asset ladder). This repo generates its own meshes at
+matching triangle counts so tests and benchmarks are self-contained and the
+scale ladder is continuously adjustable:
+
+- ``cube()``                     — 12 tris  (Cube tier)
+- ``uv_sphere(28, 28)``          — ~1.5k    (Deer tier)
+- ``uv_sphere(45, 45)``          — ~4k      (Monkey tier)
+- ``dragon_proxy()``             — ~139k    (Dragon tier: a displaced sphere
+                                    with sinusoidal "scales", deterministic)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from atray_tpu.scene.data import TriMesh, _f32, _i32
+from atray_tpu.scene.transforms import compute_vertex_normals
+
+
+def _mesh(vertices: np.ndarray, faces: np.ndarray, material: int, smooth: bool) -> TriMesh:
+    t = faces.shape[0]
+    m = TriMesh(
+        vertices=_f32(vertices.astype(np.float32)),
+        faces=_i32(faces.astype(np.int32)),
+        normals=_f32(np.zeros((1, 3), np.float32)),
+        face_normal_idx=_i32(np.full((t, 3), -1, np.int32)),
+        tex_coords=_f32(np.zeros((1, 2), np.float32)),
+        face_tex_idx=_i32(np.full((t, 3), -1, np.int32)),
+        material_id=_i32(np.full((t,), material, np.int32)),
+    )
+    return compute_vertex_normals(m) if smooth else m
+
+
+def cube(size: float = 2.0, material: int = 1, smooth: bool = False) -> TriMesh:
+    """Axis-aligned cube centered at origin, 12 triangles with outward
+    (counter-clockwise) winding so backface culling keeps exteriors visible."""
+    h = size * 0.5
+    v = np.array(
+        [
+            [-h, -h, -h], [h, -h, -h], [h, h, -h], [-h, h, -h],  # z = -h
+            [-h, -h, h], [h, -h, h], [h, h, h], [-h, h, h],      # z = +h
+        ],
+        np.float64,
+    )
+    quads = [
+        (4, 5, 6, 7),  # +z
+        (1, 0, 3, 2),  # -z
+        (5, 1, 2, 6),  # +x
+        (0, 4, 7, 3),  # -x
+        (3, 7, 6, 2),  # +y
+        (0, 1, 5, 4),  # -y
+    ]
+    f = []
+    for a, b, c, d in quads:
+        f.append((a, b, c))
+        f.append((a, c, d))
+    return _mesh(v, np.array(f), material, smooth)
+
+
+def quad(
+    corner00, corner10, corner11, corner01, material: int = 1
+) -> TriMesh:
+    """A single two-triangle quad (light panels, walls)."""
+    v = np.array([corner00, corner10, corner11, corner01], np.float64)
+    f = np.array([(0, 1, 2), (0, 2, 3)])
+    return _mesh(v, f, material, smooth=False)
+
+
+def uv_sphere(
+    rows: int = 32,
+    cols: int = 32,
+    radius: float = 1.0,
+    material: int = 1,
+    smooth: bool = True,
+) -> TriMesh:
+    """Latitude-longitude sphere: 2*rows*cols - 2*cols triangles."""
+    ii = np.arange(rows + 1, dtype=np.float64)
+    jj = np.arange(cols, dtype=np.float64)
+    theta = ii / rows * np.pi            # (rows+1,)
+    phi = jj / cols * 2.0 * np.pi        # (cols,)
+    st, ct = np.sin(theta), np.cos(theta)
+    sp, cp = np.sin(phi), np.cos(phi)
+    x = radius * st[:, None] * cp[None, :]
+    y = radius * ct[:, None] * np.ones_like(sp)[None, :]
+    z = radius * st[:, None] * sp[None, :]
+    v = np.stack([x, y, z], axis=-1).reshape(-1, 3)  # (rows+1)*cols
+
+    def vid(i, j):
+        return i * cols + (j % cols)
+
+    faces = []
+    for i in range(rows):
+        for j in range(cols):
+            a, b = vid(i, j), vid(i, j + 1)
+            c, d = vid(i + 1, j + 1), vid(i + 1, j)
+            if i > 0:
+                faces.append((a, b, c))   # wound outward (CCW from outside)
+            if i < rows - 1:
+                faces.append((a, c, d))
+    return _mesh(v, np.array(faces), material, smooth)
+
+
+def dragon_proxy(
+    target_tris: int = 139_000,
+    material: int = 1,
+    seed: int = 7,
+    smooth: bool = True,
+) -> TriMesh:
+    """Dragon-tier benchmark mesh: ~``target_tris`` triangles.
+
+    A unit sphere displaced by deterministic multi-frequency sinusoidal noise
+    — produces an irregular, high-curvature surface whose BVH has realistic
+    depth/overlap characteristics (unlike a plain sphere, whose boxes are
+    near-disjoint). Stands in for the reference's Dragon.obj (139k faces,
+    README.md:19), which is a missing large blob in the snapshot.
+    """
+    # 2*r*c - 2*c tris ~= target with r == c  ->  r ~ sqrt(target/2) + 1
+    n = int(np.sqrt(target_tris / 2.0)) + 1
+    base = uv_sphere(rows=n, cols=n, radius=1.0, material=material, smooth=False)
+    v = np.asarray(base.vertices, np.float64)
+    rng = np.random.default_rng(seed)
+    disp = np.zeros(v.shape[0])
+    for freq in (3.0, 7.0, 13.0, 29.0):
+        k = rng.normal(size=(3, 3)) * freq
+        ph = rng.uniform(0, 2 * np.pi, size=3)
+        amp = 0.35 / freq
+        disp = disp + amp * np.sin(v @ k.T + ph).sum(axis=1)
+    v = v * (1.0 + disp)[:, None]
+    out = _mesh(v, np.asarray(base.faces), material, smooth=False)
+    return compute_vertex_normals(out) if smooth else out

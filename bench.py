@@ -1,0 +1,129 @@
+"""Headline benchmark: rays/sec/chip on the Dragon-tier scene.
+
+Prints ONE JSON line:
+  {"metric": "rays_per_sec_chip", "value": N, "unit": "rays/s", "vs_baseline": N}
+
+Baseline: BASELINE.json's north star is >= 1e9 rays/s on a v4-16 (16 cores)
+for Dragon @1080p/64spp -> 6.25e7 rays/s per chip. ``vs_baseline`` is
+measured rays/s/chip divided by 6.25e7.
+
+Ray accounting matches what the machine does (and the reference's
+ray_casts counter semantics, renderer.cpp:345,355): one "ray" = one
+cast/bounce-step traced through the scene. The wavefront processes every
+lane at every bounce (no compaction yet), so rays = R_primary * bounces.
+
+Env knobs (so CI stays bounded): ATRAY_BENCH_SPP, ATRAY_BENCH_RES,
+ATRAY_BENCH_TRIS, ATRAY_BENCH_REPS, ATRAY_BENCH_BOUNCES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_RAYS_PER_SEC_CHIP = 6.25e7
+
+
+def main() -> None:
+    from atray_tpu.accel.bvh import build_bvh
+    from atray_tpu.config import KDTreeConfig, RenderSettings
+    from atray_tpu.core.camera import look_at_camera
+    from atray_tpu.dist.mesh import make_device_mesh, render_sharded
+    from atray_tpu.scene import build_scene, procedural
+    from atray_tpu.scene.data import make_materials
+    from atray_tpu.scene.transforms import translate
+
+    spp = int(os.environ.get("ATRAY_BENCH_SPP", "4"))
+    res = os.environ.get("ATRAY_BENCH_RES", "1920x1080")
+    tris = int(os.environ.get("ATRAY_BENCH_TRIS", "139000"))
+    reps = int(os.environ.get("ATRAY_BENCH_REPS", "3"))
+    bounces = int(os.environ.get("ATRAY_BENCH_BOUNCES", "5"))
+    w, h = (int(x) for x in res.split("x"))
+
+    mats = make_materials([
+        ((0.35, 0.45, 0.65), (0.0, 0.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0), (0.75, 0.55, 0.35), 0.15),
+        ((0.0, 0.0, 0.0), (0.6, 0.6, 0.65), 0.0),
+    ])
+    t0 = time.perf_counter()
+    dragon = translate(
+        procedural.dragon_proxy(target_tris=tris, material=1), (0.0, 0.0, -4.0)
+    )
+    scene = build_scene([dragon], materials=mats)
+    t_mesh = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    bvh = build_bvh(
+        scene.mesh.vertices, scene.mesh.faces, KDTreeConfig(leaf_size=4)
+    )
+    t_build = time.perf_counter() - t0
+
+    cam = look_at_camera((0.0, 1.0, 0.8), (0.0, 0.0, -4.0), h_fov=0.9, aspect=w / h)
+    settings = RenderSettings(
+        resolution=(w, h), samples_per_pixel=spp, bounce_limit=bounces
+    )
+
+    mesh = make_device_mesh()
+    n_chips = mesh.devices.size
+
+    def frame(key):
+        return render_sharded(scene, cam, settings, key, mesh, accel=bvh)
+
+    jframe = jax.jit(frame)
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    jframe(key).block_until_ready()
+    t_compile = time.perf_counter() - t0
+
+    times = []
+    for i in range(reps):
+        k = jax.random.PRNGKey(i + 1)
+        t0 = time.perf_counter()
+        jframe(k).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    rays = w * h * spp * bounces
+    rays_per_sec = rays / best
+    per_chip = rays_per_sec / n_chips
+
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_sec_chip",
+                "value": per_chip,
+                "unit": "rays/s",
+                "vs_baseline": per_chip / BASELINE_RAYS_PER_SEC_CHIP,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "resolution": [w, h],
+                    "spp": spp,
+                    "bounces": bounces,
+                    "tris": int(scene.mesh.num_faces),
+                    "bvh_nodes": int(bvh.num_nodes),
+                    "chips": n_chips,
+                    "device": str(jax.devices()[0]),
+                    "mesh_gen_s": round(t_mesh, 3),
+                    "bvh_build_s": round(t_build, 3),
+                    "compile_s": round(t_compile, 3),
+                    "frame_s": round(best, 4),
+                    "total_rays_per_sec": rays_per_sec,
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

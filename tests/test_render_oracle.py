@@ -1,0 +1,125 @@
+"""Device renderer vs CPU numpy oracle (SURVEY.md §4 item 2): image allclose
+on small configs of every primitive class and shading mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from atray_tpu.config import RenderSettings
+from atray_tpu.core.camera import look_at_camera, camera_rays
+from atray_tpu.render.wavefront import draw_bounce_uniforms, render
+from atray_tpu.scene import build_scene, procedural
+from atray_tpu.scene.data import Planes, Spheres, make_materials
+from atray_tpu.scene.transforms import translate
+
+
+MATS = make_materials([
+    # 0: skybox — soft blue ambient emission
+    ((0.35, 0.45, 0.65), (0.0, 0.0, 0.0), 0.0),
+    # 1: grey diffuse
+    ((0.0, 0.0, 0.0), (0.7, 0.7, 0.7), 0.0),
+    # 2: red glossy
+    ((0.0, 0.0, 0.0), (0.8, 0.2, 0.2), 0.7),
+    # 3: warm area light
+    ((4.0, 3.5, 3.0), (0.0, 0.0, 0.0), 0.0),
+    # 4: mirror
+    ((0.0, 0.0, 0.0), (0.95, 0.95, 0.95), 1.0),
+])
+
+
+def _scene_full():
+    cube = translate(procedural.cube(size=1.5, material=2), (0.0, -0.5, -4.0))
+    spheres = Spheres(
+        centers=jnp.asarray([[1.6, 0.2, -5.0], [-1.5, 2.0, -4.0]], jnp.float32),
+        radii=jnp.asarray([0.8, 0.6], jnp.float32),
+        material_id=jnp.asarray([4, 3], jnp.int32),
+    )
+    planes = Planes(
+        normals=jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+        offsets=jnp.asarray([-1.5], jnp.float32),
+        material_id=jnp.asarray([1], jnp.int32),
+    )
+    return build_scene([cube], spheres=spheres, planes=planes, materials=MATS)
+
+
+def _compare(scene, w=48, h=36, spp=2, bounces=3, tol=2e-5):
+    cam = look_at_camera((0.0, 0.5, 1.0), (0.0, 0.0, -4.0), h_fov=0.9, aspect=w / h)
+    key = jax.random.PRNGKey(42)
+    settings = RenderSettings(
+        resolution=(w, h), samples_per_pixel=spp, bounce_limit=bounces,
+        anti_aliasing=False, use_accel=False,
+    )
+    n_rays = spp * h * w
+    uni = draw_bounce_uniforms(jax.random.PRNGKey(7), bounces, n_rays)
+
+    film_dev = jax.jit(
+        lambda s: render(s, cam, settings, key, uniforms=uni)
+    )(scene)
+
+    orig, dirn = camera_rays(cam, w, h, spp)
+    film_ref = oracle.render_film(
+        scene, orig, dirn, bounces, np.asarray(uni), spp, h, w
+    )
+    np.testing.assert_allclose(np.asarray(film_dev), film_ref, atol=tol)
+    return np.asarray(film_dev)
+
+
+def test_full_scene_matches_oracle():
+    # Slightly wider tolerance: after 3 stochastic bounces XLA's fusion/fma
+    # ordering shifts a handful of f32 ulps, which grows through the path.
+    film = _compare(_scene_full(), tol=1e-3)
+    # sanity: the image is not a constant field
+    assert film.std() > 0.01
+
+
+def test_mesh_only_flat_shading():
+    cube = translate(procedural.cube(size=1.5, material=1), (0.0, 0.0, -4.0))
+    scene = build_scene([cube], materials=MATS)
+    _compare(scene)
+
+
+def test_mesh_smooth_shading():
+    sph = translate(
+        procedural.uv_sphere(rows=12, cols=12, material=2, smooth=True),
+        (0.0, 0.0, -4.0),
+    )
+    scene = build_scene([sph], materials=MATS)
+    _compare(scene)
+
+
+def test_sky_only():
+    scene = build_scene([], materials=MATS)
+    film = _compare(scene, bounces=2)
+    np.testing.assert_allclose(film[0, 0], [0.35, 0.45, 0.65], atol=1e-6)
+
+
+def test_single_bounce_deterministic():
+    # bounce_limit=1: no stochastic jitter affects the image (first
+    # intersection + emission only), so two different keys must agree.
+    scene = _scene_full()
+    cam = look_at_camera((0.0, 0.5, 1.0), (0.0, 0.0, -4.0), h_fov=0.9, aspect=4 / 3)
+    s = RenderSettings(resolution=(32, 24), samples_per_pixel=1, bounce_limit=1,
+                       use_accel=False)
+    f1 = render(scene, cam, s, jax.random.PRNGKey(0))
+    f2 = render(scene, cam, s, jax.random.PRNGKey(99))
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-7)
+
+
+def test_spp_averaging_reduces_variance():
+    scene = _scene_full()
+    cam = look_at_camera((0.0, 0.5, 1.0), (0.0, 0.0, -4.0), h_fov=0.9, aspect=1.0)
+    lo = RenderSettings(resolution=(24, 24), samples_per_pixel=2, bounce_limit=4,
+                        use_accel=False)
+    hi = RenderSettings(resolution=(24, 24), samples_per_pixel=32, bounce_limit=4,
+                        use_accel=False)
+    films_lo = [
+        np.asarray(render(scene, cam, lo, jax.random.PRNGKey(k))) for k in range(4)
+    ]
+    films_hi = [
+        np.asarray(render(scene, cam, hi, jax.random.PRNGKey(k))) for k in range(4)
+    ]
+    var_lo = np.var(np.stack(films_lo), axis=0).mean()
+    var_hi = np.var(np.stack(films_hi), axis=0).mean()
+    assert var_hi < var_lo
