@@ -151,7 +151,10 @@ def _traverse_kernel(
 
     # data-dependent ones rows (Mosaic folds constant/int identities; f32
     # x*0.0 is not foldable, so these survive as real (1,128) values)
-    onesf = tris_ref[0:1, 0:BLOCK_LANE] * jnp.float32(0.0) + jnp.float32(1.0)
+    # NB: must come from a NaN-free source — tris rows contain bitcast int
+    # ids (pad id -1 == 0xFFFFFFFF == NaN, and NaN*0 = NaN would poison
+    # that lane of every block); ray origins are always finite.
+    onesf = ox_ref[0:1, :] * jnp.float32(0.0) + jnp.float32(1.0)
     onesi = onesf.astype(jnp.int32)
 
     def leaf_phase(leaf_row, best):

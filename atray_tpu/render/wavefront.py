@@ -49,6 +49,12 @@ PRIM_SPHERE = 2
 PRIM_PLANE = 3
 
 
+def _pallas_interpret() -> bool:
+    """Run Pallas kernels in interpreter mode off-TPU (CPU test harness).
+    The TPU platform may be named 'tpu' or (here) the experimental 'axon'."""
+    return jax.default_backend() == "cpu"
+
+
 class HitIds(NamedTuple):
     """Discrete outcome of a nearest-hit query. ``t`` is carried for
     diagnostics/compaction but is recomputed differentiably by
@@ -81,9 +87,32 @@ def nearest_hit_ids(
 
     if scene.mesh.num_faces > 0:
         if accel is not None:
+            from atray_tpu.accel.bvh import BVH
             from atray_tpu.accel.traverse import bvh_first_hit
+            from atray_tpu.accel.wide import WideBVH
+            from atray_tpu.kernels.traverse_pallas import TreePack
 
-            t, _, _, tid = bvh_first_hit(accel, scene, orig, dirn)
+            if isinstance(accel, TreePack):
+                # packet kernel: exact per-ray culling, best for
+                # incoherent (bounce) rays
+                from atray_tpu.kernels.traverse_pallas import pallas_first_hit
+
+                t, _, _, tid = pallas_first_hit(
+                    accel, orig, dirn, interpret=_pallas_interpret()
+                )
+            elif isinstance(accel, WideBVH):
+                # persistent wide kernel: fastest for coherent rays
+                from atray_tpu.kernels.persistent_pallas import (
+                    persistent_first_hit,
+                )
+
+                t, _, _, tid = persistent_first_hit(
+                    accel, orig, dirn, interpret=_pallas_interpret()
+                )
+            elif isinstance(accel, BVH):
+                t, _, _, tid = bvh_first_hit(accel, scene, orig, dirn)
+            else:
+                raise TypeError(f"unknown accel type {type(accel)!r}")
         else:
             p0, e1, e2 = scene.triangle_soa()
             t, _, _, tid = first_triangle_hit(orig, dirn, p0, e1, e2)
@@ -240,11 +269,22 @@ def trace_radiance(
     sc = scene.materials.scatter
     sky = em[0]
 
+    # A HybridAccel splits the accelerator by coherence: the primary bounce
+    # (coherent film tiles) uses the wide/persistent kernel, later bounces
+    # (scattered directions) use the exact-culling packet kernel. The first
+    # bounce is peeled out of the scan so this dispatch is static.
+    from atray_tpu.accel.wide import HybridAccel
+
+    if isinstance(accel, HybridAccel):
+        primary_accel, bounce_accel = accel.wide, accel.pack
+    else:
+        primary_accel = bounce_accel = accel
+
     # Per-bounce jitter: explicit ``uniforms`` ride in as scan xs (oracle
     # path); otherwise drawn per bounce from fold_in(key, b) — bit-identical
     # to draw_bounce_uniforms(key, ...) for the same key, without ever
     # materializing the (B, R, 3) tensor (8 GB at 1080p/64spp/5 bounces).
-    def body(state, xs):
+    def body_with(state, xs, accel_):
         if uniforms is not None:
             _, uni = xs
         else:
@@ -253,7 +293,7 @@ def trace_radiance(
                 jax.random.fold_in(key, b), (r, 3), jnp.float32, -1.0, 1.0
             )
         o, d, weight, color, alive = state
-        ids = nearest_hit_ids(scene, o, d, accel=accel)
+        ids = nearest_hit_ids(scene, o, d, accel=accel_)
         t, n, mat, hit = resolve_hit(scene, o, d, ids)
 
         miss_now = alive & ~hit
@@ -280,11 +320,6 @@ def trace_radiance(
         alive = live_hit
         return (o, d, weight, color, alive), None
 
-    if uniforms is not None:
-        xs = (jnp.arange(bounce_limit), uniforms)
-    else:
-        xs = jnp.arange(bounce_limit)
-
     init = (
         orig,
         dirn,
@@ -292,8 +327,25 @@ def trace_radiance(
         jnp.zeros((r, 3)),
         jnp.ones((r,), bool),
     )
-    (o, d, weight, color, alive), _ = jax.lax.scan(body, init, xs)
-    return color
+
+    # bounce 0: primary accel (coherent rays)
+    if uniforms is not None:
+        xs0 = (jnp.int32(0), uniforms[0])
+    else:
+        xs0 = jnp.int32(0)
+    state, _ = body_with(init, xs0, primary_accel)
+
+    if bounce_limit > 1:
+        def body(st, xs):
+            return body_with(st, xs, bounce_accel)
+
+        if uniforms is not None:
+            xs = (jnp.arange(1, bounce_limit), uniforms[1:])
+        else:
+            xs = jnp.arange(1, bounce_limit)
+        state, _ = jax.lax.scan(body, state, xs)
+
+    return state[3]
 
 
 def draw_bounce_uniforms(key: jax.Array, bounces: int, num_rays: int) -> jnp.ndarray:
@@ -313,6 +365,41 @@ def draw_bounce_uniforms(key: jax.Array, bounces: int, num_rays: int) -> jnp.nda
     )
 
 
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def film_tile_shape(width: int, height: int) -> Tuple[int, int]:
+    """(tile_h, tile_w) dividing the film, near the Pallas ray-block
+    footprint (8 sublanes x 128 lanes) so consecutive rays share a compact
+    2D frustum — the SPMD analog of the reference's square tiles
+    (renderer.cpp:406-411)."""
+    return _largest_divisor_leq(height, 16), _largest_divisor_leq(width, 128)
+
+
+def to_tile_order(x: jnp.ndarray, w: int, h: int, spp: int) -> jnp.ndarray:
+    """(spp*h*w, C) sample-major rays -> film-tile-major order.
+
+    Pure reshape/transpose (no gather). Samples of the same tile stay
+    adjacent across spp so packet blocks see a compact pixel footprint.
+    """
+    th, tw = film_tile_shape(w, h)
+    c = x.shape[-1]
+    t = x.reshape(spp, h // th, th, w // tw, tw, c)
+    return t.transpose(1, 3, 0, 2, 4, 5).reshape(-1, c)
+
+
+def from_tile_order(x: jnp.ndarray, w: int, h: int, spp: int) -> jnp.ndarray:
+    """Inverse of to_tile_order."""
+    th, tw = film_tile_shape(w, h)
+    c = x.shape[-1]
+    t = x.reshape(h // th, w // tw, spp, th, tw, c)
+    return t.transpose(2, 0, 3, 1, 4, 5).reshape(-1, c)
+
+
 def render(
     scene: Scene,
     camera: Camera,
@@ -327,6 +414,12 @@ def render(
     (renderer.cpp:294-366): camera-ray generation with optional AA jitter,
     spp averaging, clamp. Output is linear (the reference's sRGB conversion
     is commented out, renderer.cpp:361-362; use film.linear_to_srgb).
+
+    Rays are traced in film-tile order (coherent packets for the Pallas
+    traversal) and restored to film order for the average. When
+    ``settings.ray_chunk`` > 0, rays are processed in chunks of that many
+    by a host loop — bounding device memory and single-dispatch runtime
+    (long single XLA programs can exceed RPC deadlines).
     """
     w, h = settings.resolution
     spp = settings.samples_per_pixel
@@ -336,9 +429,34 @@ def render(
         key=aa_key if settings.anti_aliasing else None,
         anti_aliasing=settings.anti_aliasing,
     )
-    color = trace_radiance(
-        scene, orig, dirn, settings.bounce_limit,
-        key=bounce_key, uniforms=uniforms, accel=accel,
-    )
+    orig = to_tile_order(orig, w, h, spp)
+    dirn = to_tile_order(dirn, w, h, spp)
+    if uniforms is not None:
+        uniforms = jax.vmap(
+            lambda u: to_tile_order(u, w, h, spp)
+        )(uniforms)
+
+    n = orig.shape[0]
+    chunk = settings.ray_chunk
+    if chunk and chunk < n:
+        pieces = []
+        nchunks = -(-n // chunk)
+        for i in range(nchunks):
+            sl = slice(i * chunk, min((i + 1) * chunk, n))
+            pieces.append(
+                trace_radiance(
+                    scene, orig[sl], dirn[sl], settings.bounce_limit,
+                    key=jax.random.fold_in(bounce_key, i),
+                    uniforms=None if uniforms is None else uniforms[:, sl],
+                    accel=accel,
+                )
+            )
+        color = jnp.concatenate(pieces, axis=0)
+    else:
+        color = trace_radiance(
+            scene, orig, dirn, settings.bounce_limit,
+            key=bounce_key, uniforms=uniforms, accel=accel,
+        )
+    color = from_tile_order(color, w, h, spp)
     film = color.reshape(spp, h, w, 3).mean(axis=0)
     return jnp.clip(film, 0.0, 1.0)

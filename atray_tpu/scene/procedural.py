@@ -88,19 +88,17 @@ def uv_sphere(
     z = radius * st[:, None] * sp[None, :]
     v = np.stack([x, y, z], axis=-1).reshape(-1, 3)  # (rows+1)*cols
 
-    def vid(i, j):
-        return i * cols + (j % cols)
-
-    faces = []
-    for i in range(rows):
-        for j in range(cols):
-            a, b = vid(i, j), vid(i, j + 1)
-            c, d = vid(i + 1, j + 1), vid(i + 1, j)
-            if i > 0:
-                faces.append((a, b, c))   # wound outward (CCW from outside)
-            if i < rows - 1:
-                faces.append((a, c, d))
-    return _mesh(v, np.array(faces), material, smooth)
+    # vectorized face construction (python loops cost minutes at 139k tris)
+    ii = np.arange(rows)[:, None]          # (rows, 1)
+    jj = np.arange(cols)[None, :]          # (1, cols)
+    a = ii * cols + jj
+    b = ii * cols + (jj + 1) % cols
+    c = (ii + 1) * cols + (jj + 1) % cols
+    d = (ii + 1) * cols + jj
+    upper = np.stack([a, b, c], axis=-1)[1:].reshape(-1, 3)          # i > 0
+    lower = np.stack([a, c, d], axis=-1)[:-1].reshape(-1, 3)         # i < rows-1
+    faces = np.concatenate([upper, lower])  # wound outward (CCW from outside)
+    return _mesh(v, faces, material, smooth)
 
 
 def dragon_proxy(

@@ -9,11 +9,16 @@ measured rays/s/chip divided by 6.25e7.
 
 Ray accounting matches what the machine does (and the reference's
 ray_casts counter semantics, renderer.cpp:345,355): one "ray" = one
-cast/bounce-step traced through the scene. The wavefront processes every
+cast/bounce-step traced through the scene; the wavefront processes every
 lane at every bounce (no compaction yet), so rays = R_primary * bounces.
 
-Env knobs (so CI stays bounded): ATRAY_BENCH_SPP, ATRAY_BENCH_RES,
-ATRAY_BENCH_TRIS, ATRAY_BENCH_REPS, ATRAY_BENCH_BOUNCES.
+Timing methodology: each timed unit is ONE jitted full-frame render
+(tens of rays-millions of work), far above the ~24 ms per-dispatch relay
+constant of this environment (see .claude/skills/verify/SKILL.md), so
+wall-clock per frame is honest.
+
+Env knobs (CI bounds): ATRAY_BENCH_SPP, ATRAY_BENCH_RES, ATRAY_BENCH_TRIS,
+ATRAY_BENCH_REPS, ATRAY_BENCH_BOUNCES, ATRAY_BENCH_LEAF.
 """
 
 from __future__ import annotations
@@ -30,12 +35,12 @@ BASELINE_RAYS_PER_SEC_CHIP = 6.25e7
 
 
 def main() -> None:
-    from atray_tpu.accel.bvh import build_bvh
+    from atray_tpu.accel.wide import make_accel
     from atray_tpu.config import KDTreeConfig, RenderSettings
     from atray_tpu.core.camera import look_at_camera
-    from atray_tpu.dist.mesh import make_device_mesh, render_sharded
+    from atray_tpu.render.wavefront import render
     from atray_tpu.scene import build_scene, procedural
-    from atray_tpu.scene.data import make_materials
+    from atray_tpu.scene.data import Planes, make_materials
     from atray_tpu.scene.transforms import translate
 
     spp = int(os.environ.get("ATRAY_BENCH_SPP", "4"))
@@ -43,6 +48,7 @@ def main() -> None:
     tris = int(os.environ.get("ATRAY_BENCH_TRIS", "139000"))
     reps = int(os.environ.get("ATRAY_BENCH_REPS", "3"))
     bounces = int(os.environ.get("ATRAY_BENCH_BOUNCES", "5"))
+    leaf = int(os.environ.get("ATRAY_BENCH_LEAF", "16"))
     w, h = (int(x) for x in res.split("x"))
 
     mats = make_materials([
@@ -54,12 +60,17 @@ def main() -> None:
     dragon = translate(
         procedural.dragon_proxy(target_tris=tris, material=1), (0.0, 0.0, -4.0)
     )
-    scene = build_scene([dragon], materials=mats)
+    planes = Planes(
+        normals=jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+        offsets=jnp.asarray([-1.8], jnp.float32),
+        material_id=jnp.asarray([2], jnp.int32),
+    )
+    scene = build_scene([dragon], planes=planes, materials=mats)
     t_mesh = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    bvh = build_bvh(
-        scene.mesh.vertices, scene.mesh.faces, KDTreeConfig(leaf_size=4)
+    accel = make_accel(
+        scene.mesh.vertices, scene.mesh.faces, KDTreeConfig(leaf_size=leaf)
     )
     t_build = time.perf_counter() - t0
 
@@ -68,13 +79,11 @@ def main() -> None:
         resolution=(w, h), samples_per_pixel=spp, bounce_limit=bounces
     )
 
-    mesh = make_device_mesh()
-    n_chips = mesh.devices.size
+    n_chips = jax.device_count()
 
-    def frame(key):
-        return render_sharded(scene, cam, settings, key, mesh, accel=bvh)
-
-    jframe = jax.jit(frame)
+    jframe = jax.jit(
+        lambda key: render(scene, cam, settings, key, accel=accel)
+    )
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
     jframe(key).block_until_ready()
@@ -110,7 +119,7 @@ def main() -> None:
                     "spp": spp,
                     "bounces": bounces,
                     "tris": int(scene.mesh.num_faces),
-                    "bvh_nodes": int(bvh.num_nodes),
+                    "wide_nodes": int(accel.wide.num_nodes),
                     "chips": n_chips,
                     "device": str(jax.devices()[0]),
                     "mesh_gen_s": round(t_mesh, 3),

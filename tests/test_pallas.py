@@ -1,0 +1,156 @@
+"""Pallas kernel tests (interpret mode on CPU) vs the jnp traversal oracle
+(the A/B pattern of SURVEY.md §4), plus ray-ordering round trips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atray_tpu.accel.bvh import build_bvh
+from atray_tpu.accel.traverse import bvh_first_hit
+from atray_tpu.config import KDTreeConfig, RenderSettings
+from atray_tpu.core.camera import camera_rays, look_at_camera
+from atray_tpu.kernels.frustum_pallas import frustum_first_hit
+from atray_tpu.kernels.traverse_pallas import pack_bvh, pallas_first_hit
+from atray_tpu.render.wavefront import (
+    from_tile_order,
+    render,
+    to_tile_order,
+)
+from atray_tpu.scene import build_scene, procedural
+from atray_tpu.scene.data import make_materials
+from atray_tpu.scene.transforms import translate
+
+
+def _rays(rng, n):
+    orig = jnp.asarray(rng.uniform(-3, 3, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return orig, jnp.asarray(d, jnp.float32)
+
+
+@pytest.mark.parametrize("leaf_size", [4, 8, 16])
+@pytest.mark.parametrize("kernel", ["packet", "frustum"])
+def test_kernels_match_jnp_traversal(leaf_size, kernel, rng):
+    mesh = procedural.uv_sphere(rows=16, cols=16)
+    bvh = build_bvh(mesh.vertices, mesh.faces, KDTreeConfig(leaf_size=leaf_size))
+    pack = pack_bvh(bvh)
+    orig, dirn = _rays(rng, 1500)
+    t1, u1, v1, i1 = bvh_first_hit(bvh, None, orig, dirn)
+    fn = pallas_first_hit if kernel == "packet" else frustum_first_hit
+    t2, u2, v2, i2 = fn(pack, orig, dirn, interpret=True)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    hit = np.asarray(i1) >= 0
+    np.testing.assert_allclose(
+        np.asarray(u2)[hit], np.asarray(u1)[hit], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(v2)[hit], np.asarray(v1)[hit], atol=1e-5
+    )
+
+
+def test_kernels_on_camera_rays(rng):
+    mesh = translate(procedural.uv_sphere(rows=12, cols=12), (0, 0, -4))
+    bvh = build_bvh(mesh.vertices, mesh.faces, KDTreeConfig(leaf_size=8))
+    pack = pack_bvh(bvh)
+    cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    orig, dirn = camera_rays(cam, 40, 40, spp=1)
+    t1, _, _, i1 = bvh_first_hit(bvh, None, orig, dirn)
+    t2, _, _, i2 = frustum_first_hit(pack, orig, dirn, interpret=True)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    assert (np.asarray(i1) >= 0).sum() > 50  # the sphere is actually seen
+
+
+def test_pad_slots_never_hit(rng):
+    # leaf_size larger than the triangle count forces pad slots everywhere
+    v = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], jnp.float32)
+    f = jnp.asarray([[0, 1, 2]], jnp.int32)
+    bvh = build_bvh(v, f, KDTreeConfig(leaf_size=8))
+    pack = pack_bvh(bvh)
+    orig, dirn = _rays(rng, 1024)
+    t1, _, _, i1 = bvh_first_hit(bvh, None, orig, dirn)
+    t2, _, _, i2 = frustum_first_hit(pack, orig, dirn, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    assert set(np.unique(np.asarray(i2))) <= {-1, 0}
+
+
+def test_tile_order_round_trip():
+    w, h, spp = 48, 36, 3
+    x = jnp.arange(spp * h * w * 3, dtype=jnp.float32).reshape(-1, 3)
+    y = from_tile_order(to_tile_order(x, w, h, spp), w, h, spp)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_render_with_pallas_accel_matches_brute():
+    mats = make_materials([
+        ((0.4, 0.5, 0.7), (0.0, 0.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0), (0.8, 0.6, 0.4), 0.2),
+    ])
+    mesh = translate(procedural.uv_sphere(rows=10, cols=10, material=1), (0, 0, -4))
+    scene = build_scene([mesh], materials=mats)
+    bvh = build_bvh(scene.mesh.vertices, scene.mesh.faces, KDTreeConfig(leaf_size=8))
+    pack = pack_bvh(bvh)
+    cam = look_at_camera((0, 0.4, 0.5), (0, 0, -4), h_fov=0.8, aspect=1.0)
+    s = RenderSettings(resolution=(24, 24), samples_per_pixel=1, bounce_limit=2)
+    key = jax.random.PRNGKey(5)
+    film_bf = render(scene, cam, s, key, accel=None)
+    film_pl = render(scene, cam, s, key, accel=pack)
+    np.testing.assert_allclose(
+        np.asarray(film_pl), np.asarray(film_bf), atol=2e-5
+    )
+
+
+def test_render_chunked_matches_unchunked_shape():
+    mats = make_materials([
+        ((0.4, 0.5, 0.7), (0.0, 0.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0), (0.8, 0.6, 0.4), 0.2),
+    ])
+    mesh = translate(procedural.cube(material=1), (0, 0, -4))
+    scene = build_scene([mesh], materials=mats)
+    cam = look_at_camera((0, 0.4, 0.5), (0, 0, -4), h_fov=0.8, aspect=1.0)
+    import dataclasses
+
+    s = RenderSettings(resolution=(16, 16), samples_per_pixel=2, bounce_limit=1)
+    sc = dataclasses.replace(s, ray_chunk=100)
+    # bounce_limit=1 is deterministic -> chunked == unchunked exactly
+    f1 = render(scene, cam, s, jax.random.PRNGKey(0))
+    f2 = render(scene, cam, sc, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-6)
+
+
+def test_wide_and_persistent_kernels_match_jnp(rng):
+    from atray_tpu.accel.wide import wide_from_mesh
+    from atray_tpu.kernels.persistent_pallas import persistent_first_hit
+    from atray_tpu.kernels.wide_pallas import wide_first_hit
+
+    mesh = procedural.uv_sphere(rows=16, cols=16)
+    bvh = build_bvh(mesh.vertices, mesh.faces, KDTreeConfig(leaf_size=8))
+    wb = wide_from_mesh(mesh.vertices, mesh.faces, KDTreeConfig(leaf_size=8))
+    orig, dirn = _rays(rng, 1500)
+    t1, _, _, i1 = bvh_first_hit(bvh, None, orig, dirn)
+    for fn in (wide_first_hit, persistent_first_hit):
+        t2, _, _, i2 = fn(wb, orig, dirn, interpret=True)
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_render_with_hybrid_accel_matches_brute():
+    from atray_tpu.accel.wide import make_accel
+
+    mats = make_materials([
+        ((0.4, 0.5, 0.7), (0.0, 0.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0), (0.8, 0.6, 0.4), 0.2),
+    ])
+    mesh = translate(procedural.uv_sphere(rows=10, cols=10, material=1), (0, 0, -4))
+    scene = build_scene([mesh], materials=mats)
+    hy = make_accel(scene.mesh.vertices, scene.mesh.faces, KDTreeConfig(leaf_size=8))
+    cam = look_at_camera((0, 0.4, 0.5), (0, 0, -4), h_fov=0.8, aspect=1.0)
+    s = RenderSettings(resolution=(24, 24), samples_per_pixel=1, bounce_limit=3)
+    key = jax.random.PRNGKey(5)
+    film_bf = render(scene, cam, s, key, accel=None)
+    film_hy = render(scene, cam, s, key, accel=hy)
+    np.testing.assert_allclose(
+        np.asarray(film_hy), np.asarray(film_bf), atol=2e-5
+    )
