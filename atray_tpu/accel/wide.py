@@ -196,13 +196,8 @@ class HybridAccel:
     pack: "TreePack"  # type: ignore[name-defined]
 
 
-def make_accel(vertices, faces, config=None) -> HybridAccel:
-    """Build the default hybrid accelerator for a mesh."""
-    from atray_tpu.accel.bvh import build_bvh
-    from atray_tpu.config import KDTreeConfig
-    from atray_tpu.kernels.traverse_pallas import pack_bvh
-
-    cfg = config or KDTreeConfig(leaf_size=8)
-    bvh = build_bvh(vertices, faces, cfg)
-    pack = pack_bvh(bvh)
-    return HybridAccel(wide=build_wide_bvh(bvh, pack.tris), pack=pack)
+def make_accel(vertices, faces, config=None) -> WideBVH:
+    """Build the default accelerator: the 8-wide BVH driven by the
+    persistent exact kernel (kernels/wide_exact.py), the best measured
+    choice for both coherent primaries and incoherent bounces."""
+    return wide_from_mesh(vertices, faces, config)

@@ -25,6 +25,9 @@ class RenderSettings:
         (the runtime equivalent of the reference's USE_KD_TREE compile flag).
     ray_chunk: process rays in chunks of this many to bound device memory;
         0 means a single chunk (all rays at once).
+    sort_bounces: re-sort rays between bounces (dead-last, then direction
+        octant + spatial cell) to restore packet coherence — the
+        ray-queue compaction of SURVEY.md §5.7.
     dtype: compute dtype for shading ("float32" | "bfloat16"); geometry /
         intersection always runs f32 for precision.
     """
@@ -35,6 +38,7 @@ class RenderSettings:
     anti_aliasing: bool = False
     use_accel: bool = True
     ray_chunk: int = 0
+    sort_bounces: bool = False
     dtype: str = "float32"
 
     @property

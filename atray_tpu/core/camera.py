@@ -47,24 +47,36 @@ def make_camera(
     h_fov: float = 1.0,
     aspect: float = 16.0 / 9.0,
 ) -> Camera:
-    """Build the right-handed camera basis (reference set_camera, camera.h:23-45)."""
-    eye = jnp.asarray(eye, jnp.float32)
-    forward = normalize(jnp.asarray(look_dir, jnp.float32))
-    right = normalize(jnp.cross(forward, _WORLD_UP))
-    up = jnp.cross(right, forward)
+    """Build the right-handed camera basis (reference set_camera, camera.h:23-45).
+
+    The basis math runs in host numpy: on remote-compile TPU setups every
+    eager jnp op costs a compile round-trip, so scene/camera authoring
+    must not touch the device.
+    """
+    import numpy as np
+
+    eye = np.asarray(eye, np.float64)
+    fw = np.asarray(look_dir, np.float64)
+    fw = fw / max(np.linalg.norm(fw), 1e-20)
+    up_w = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fw, up_w)
+    right = right / max(np.linalg.norm(right), 1e-20)
+    up = np.cross(right, fw)
     return Camera(
-        eye=eye,
-        right=right,
-        up=up,
-        forward=forward,
+        eye=jnp.asarray(eye, jnp.float32),
+        right=jnp.asarray(right, jnp.float32),
+        up=jnp.asarray(up, jnp.float32),
+        forward=jnp.asarray(fw, jnp.float32),
         half_width=jnp.float32(h_fov),
         half_height=jnp.float32(h_fov / aspect),
     )
 
 
 def look_at_camera(eye, target, h_fov: float = 1.0, aspect: float = 16.0 / 9.0) -> Camera:
-    eye = jnp.asarray(eye, jnp.float32)
-    return make_camera(eye, jnp.asarray(target, jnp.float32) - eye, h_fov, aspect)
+    import numpy as np
+
+    eye_np = np.asarray(eye, np.float64)
+    return make_camera(eye_np, np.asarray(target, np.float64) - eye_np, h_fov, aspect)
 
 
 def camera_rays(

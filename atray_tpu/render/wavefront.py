@@ -93,20 +93,21 @@ def nearest_hit_ids(
             from atray_tpu.kernels.traverse_pallas import TreePack
 
             if isinstance(accel, TreePack):
-                # packet kernel: exact per-ray culling, best for
-                # incoherent (bounce) rays
-                from atray_tpu.kernels.traverse_pallas import pallas_first_hit
+                # persistent packet kernel: exact per-ray culling, best for
+                # incoherent (bounce) rays; tables stay on chip
+                from atray_tpu.kernels.persistent_packet import (
+                    ppacket_first_hit,
+                )
 
-                t, _, _, tid = pallas_first_hit(
+                t, _, _, tid = ppacket_first_hit(
                     accel, orig, dirn, interpret=_pallas_interpret()
                 )
             elif isinstance(accel, WideBVH):
-                # persistent wide kernel: fastest for coherent rays
-                from atray_tpu.kernels.persistent_pallas import (
-                    persistent_first_hit,
-                )
+                # persistent exact wide kernel: best measured on both
+                # coherent and incoherent rays (kernels/wide_exact.py)
+                from atray_tpu.kernels.wide_exact import wide_exact_first_hit
 
-                t, _, _, tid = persistent_first_hit(
+                t, _, _, tid = wide_exact_first_hit(
                     accel, orig, dirn, interpret=_pallas_interpret()
                 )
             elif isinstance(accel, BVH):
@@ -141,18 +142,54 @@ def nearest_hit_ids(
     return HitIds(best_type, best_id, best_t)
 
 
+def build_face_table(scene: Scene) -> Optional[jnp.ndarray]:
+    """(T, 20) packed per-face shading table, built ONCE per trace:
+    [p0(3), e1(3), e2(3), n0(3), n1(3), n2(3), material_id, pad]. Faces
+    without smooth normals get the flat (geometric) normal in all three
+    slots, so per-ray resolution needs no branch. Material id is stored as
+    an exact f32 value (ids < 2^24).
+
+    Why: resolve_hit previously performed ~8 scattered row gathers per ray
+    per bounce (faces, three vertices, three normals, ids) — at 1M rays
+    that XLA gather traffic cost ~130 ms per bounce on v5e, dominating the
+    frame. Building the table is ONE pass over T faces; per bounce there is
+    then a single contiguous (R, 20)-row gather. Gradients still flow to
+    vertices and normals through the table construction.
+    """
+    if scene.mesh.num_faces == 0:
+        return None
+    v = scene.mesh.vertices
+    f = scene.mesh.faces
+    p0 = v[f[:, 0]]
+    e1 = v[f[:, 1]] - p0
+    e2 = v[f[:, 2]] - p0
+    flat_n = normalize(jnp.cross(e1, e2))
+    nidx = scene.mesh.face_normal_idx
+    has_smooth = (nidx[:, 0] >= 0)[:, None]
+    ncl = jnp.clip(nidx, 0, scene.mesh.normals.shape[0] - 1)
+    n0 = jnp.where(has_smooth, scene.mesh.normals[ncl[:, 0]], flat_n)
+    n1 = jnp.where(has_smooth, scene.mesh.normals[ncl[:, 1]], flat_n)
+    n2 = jnp.where(has_smooth, scene.mesh.normals[ncl[:, 2]], flat_n)
+    mat = scene.mesh.material_id.astype(jnp.float32)[:, None]
+    return jnp.concatenate(
+        [p0, e1, e2, n0, n1, n2, mat, jnp.zeros_like(mat)], axis=1
+    )  # (T, 20)
+
+
 def resolve_hit(
     scene: Scene,
     orig: jnp.ndarray,
     dirn: jnp.ndarray,
     ids: HitIds,
+    face_table: Optional[jnp.ndarray] = None,
 ):
     """Differentiable recompute of the hit from its discrete ids.
 
     Returns (t, shading_normal, material_id, hit_mask). The shading normal is
     geometric-flat or smooth-interpolated for triangles (reference
-    renderer.cpp:110-149), oriented to face the incoming ray; gradients flow
-    to vertices (via Möller–Trumbore partials) and vertex normals.
+    renderer.cpp:110-149); gradients flow to vertices (via Möller–Trumbore
+    partials) and vertex normals. Pass ``face_table`` (build_face_table) to
+    replace the 8 scattered gathers with one packed row gather.
     """
     r = orig.shape[0]
     t = jnp.full((r,), INF)
@@ -165,25 +202,21 @@ def resolve_hit(
 
     if scene.mesh.num_faces > 0:
         fid = jnp.clip(ids.prim_id, 0, scene.mesh.num_faces - 1)
-        v = scene.mesh.vertices
-        f = scene.mesh.faces[fid]                      # (R, 3)
-        p0 = v[f[:, 0]]
-        e1 = v[f[:, 1]] - p0
-        e2 = v[f[:, 2]] - p0
+        if face_table is None:
+            face_table = build_face_table(scene)
+        row = face_table[fid]                          # (R, 20): one gather
+        p0 = row[:, 0:3]
+        e1 = row[:, 3:6]
+        e2 = row[:, 6:9]
+        n0 = row[:, 9:12]
+        n1 = row[:, 12:15]
+        n2 = row[:, 15:18]
         tt, u, vv, _ = moller_trumbore(orig, dirn, p0, e1, e2)
-        flat_n = normalize(jnp.cross(e1, e2))
-        nidx = scene.mesh.face_normal_idx[fid]          # (R, 3)
-        has_smooth = nidx[:, 0] >= 0
-        ncl = jnp.clip(nidx, 0, scene.mesh.normals.shape[0] - 1)
-        n0 = scene.mesh.normals[ncl[:, 0]]
-        n1 = scene.mesh.normals[ncl[:, 1]]
-        n2 = scene.mesh.normals[ncl[:, 2]]
         w0 = (1.0 - u - vv)[:, None]
-        smooth_n = normalize(w0 * n0 + u[:, None] * n1 + vv[:, None] * n2)
-        tri_n = jnp.where(has_smooth[:, None], smooth_n, flat_n)
+        tri_n = normalize(w0 * n0 + u[:, None] * n1 + vv[:, None] * n2)
         t = jnp.where(is_tri, tt, t)
         normal = jnp.where(is_tri[:, None], tri_n, normal)
-        mat = jnp.where(is_tri, scene.mesh.material_id[fid], mat)
+        mat = jnp.where(is_tri, row[:, 18].astype(jnp.int32), mat)
 
     if scene.spheres.count > 0:
         sid = jnp.clip(ids.prim_id, 0, scene.spheres.count - 1)
@@ -245,6 +278,7 @@ def trace_radiance(
     key: Optional[jax.Array] = None,
     uniforms: Optional[jnp.ndarray] = None,   # (B, R, 3) in [-1, 1]
     accel=None,
+    sort_rays: bool = False,
 ) -> jnp.ndarray:
     """Path-trace each ray to its radiance (R, 3).
 
@@ -284,6 +318,8 @@ def trace_radiance(
     # path); otherwise drawn per bounce from fold_in(key, b) — bit-identical
     # to draw_bounce_uniforms(key, ...) for the same key, without ever
     # materializing the (B, R, 3) tensor (8 GB at 1080p/64spp/5 bounces).
+    face_table = build_face_table(scene)
+
     def body_with(state, xs, accel_):
         if uniforms is not None:
             _, uni = xs
@@ -294,7 +330,7 @@ def trace_radiance(
             )
         o, d, weight, color, alive = state
         ids = nearest_hit_ids(scene, o, d, accel=accel_)
-        t, n, mat, hit = resolve_hit(scene, o, d, ids)
+        t, n, mat, hit = resolve_hit(scene, o, d, ids, face_table=face_table)
 
         miss_now = alive & ~hit
         color = color + jnp.where(miss_now[:, None], weight * sky, 0.0)
@@ -320,7 +356,26 @@ def trace_radiance(
         alive = live_hit
         return (o, d, weight, color, alive), None
 
-    init = (
+    def sort_key(o, d, alive):
+        """Compaction key: dead rays last; live rays grouped by direction
+        octant then coarse spatial cell — restores packet coherence for
+        bounce rays (the wavefront analog of the reference's per-ray
+        early-break, SURVEY.md §5.7)."""
+        v = scene.mesh.vertices
+        lo = jnp.min(v, axis=0)
+        hi = jnp.max(v, axis=0)
+        q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+        cell = (q * 31.0).astype(jnp.int32)
+        octant = (
+            (d[:, 0] > 0).astype(jnp.int32)
+            + 2 * (d[:, 1] > 0).astype(jnp.int32)
+            + 4 * (d[:, 2] > 0).astype(jnp.int32)
+        )
+        key = (octant << 15) | (cell[:, 0] << 10) | (cell[:, 1] << 5) | cell[:, 2]
+        return jnp.where(alive, key, jnp.int32(1) << 30)
+
+    ridx = jnp.arange(r)
+    state = (
         orig,
         dirn,
         jnp.ones((r, 3)),
@@ -328,24 +383,29 @@ def trace_radiance(
         jnp.ones((r,), bool),
     )
 
-    # bounce 0: primary accel (coherent rays)
-    if uniforms is not None:
-        xs0 = (jnp.int32(0), uniforms[0])
-    else:
-        xs0 = jnp.int32(0)
-    state, _ = body_with(init, xs0, primary_accel)
-
-    if bounce_limit > 1:
-        def body(st, xs):
-            return body_with(st, xs, bounce_accel)
-
+    for b in range(bounce_limit):
+        accel_b = primary_accel if b == 0 else bounce_accel
         if uniforms is not None:
-            xs = (jnp.arange(1, bounce_limit), uniforms[1:])
+            xs = (jnp.int32(b), uniforms[b][ridx])
         else:
-            xs = jnp.arange(1, bounce_limit)
-        state, _ = jax.lax.scan(body, state, xs)
+            xs = jnp.int32(b)
+        state, _ = body_with(state, xs, accel_b)
+        if sort_rays and b < bounce_limit - 1:
+            o, d, weight, color, alive = state
+            perm = jnp.argsort(sort_key(o, d, alive))
+            # park dead rays far outside the scene so all-dead packet
+            # blocks reject at the BVH root in one step
+            o = jnp.where(alive[:, None], o, 1.0e7)
+            d = jnp.where(alive[:, None], d, jnp.asarray([0.0, 0.0, 1.0]))
+            state = (
+                o[perm], d[perm], weight[perm], color[perm], alive[perm]
+            )
+            ridx = ridx[perm]
 
-    return state[3]
+    color = state[3]
+    if sort_rays:
+        color = jnp.zeros_like(color).at[ridx].set(color)
+    return color
 
 
 def draw_bounce_uniforms(key: jax.Array, bounces: int, num_rays: int) -> jnp.ndarray:
@@ -448,7 +508,7 @@ def render(
                     scene, orig[sl], dirn[sl], settings.bounce_limit,
                     key=jax.random.fold_in(bounce_key, i),
                     uniforms=None if uniforms is None else uniforms[:, sl],
-                    accel=accel,
+                    accel=accel, sort_rays=settings.sort_bounces,
                 )
             )
         color = jnp.concatenate(pieces, axis=0)
@@ -456,6 +516,7 @@ def render(
         color = trace_radiance(
             scene, orig, dirn, settings.bounce_limit,
             key=bounce_key, uniforms=uniforms, accel=accel,
+            sort_rays=settings.sort_bounces,
         )
     color = from_tile_order(color, w, h, spp)
     film = color.reshape(spp, h, w, 3).mean(axis=0)

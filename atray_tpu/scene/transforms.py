@@ -24,8 +24,9 @@ def get_aabb(mesh: TriMesh) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def translate(mesh: TriMesh, offset) -> TriMesh:
-    off = jnp.asarray(offset, jnp.float32)
-    return dataclasses.replace(mesh, vertices=mesh.vertices + off)
+    # host numpy: eager device ops cost a remote compile on tunneled TPUs
+    v = np.asarray(mesh.vertices) + np.asarray(offset, np.float32)
+    return dataclasses.replace(mesh, vertices=_f32(v))
 
 
 def translate_to(mesh: TriMesh, position) -> TriMesh:
@@ -37,9 +38,8 @@ def translate_to(mesh: TriMesh, position) -> TriMesh:
 
 
 def scale(mesh: TriMesh, factor: float) -> TriMesh:
-    return dataclasses.replace(
-        mesh, vertices=mesh.vertices * jnp.float32(factor)
-    )
+    v = np.asarray(mesh.vertices) * np.float32(factor)
+    return dataclasses.replace(mesh, vertices=_f32(v))
 
 
 def scale_to(mesh: TriMesh, max_extent: float) -> TriMesh:

@@ -1,0 +1,196 @@
+"""Auxiliary subsystems: profiling phases, progressive checkpoint/resume,
+multihost helpers, CLI scene loading (SURVEY.md §5.1/§5.4/§5.8, §2 #22)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from atray_tpu.config import RenderSettings
+from atray_tpu.core.camera import look_at_camera
+from atray_tpu.render.progressive import (
+    FilmState,
+    load_checkpoint,
+    render_progressive,
+    save_checkpoint,
+)
+from atray_tpu.scene import build_scene, procedural
+from atray_tpu.scene.data import make_materials
+from atray_tpu.scene.transforms import translate
+from atray_tpu.utils.profiling import Phase, metrics_json, phase_report, reset_phases
+
+
+def _scene():
+    mats = make_materials([
+        ((0.4, 0.5, 0.7), (0, 0, 0), 0.0),
+        ((0.0, 0.0, 0.0), (0.8, 0.6, 0.4), 0.2),
+    ])
+    return build_scene(
+        [translate(procedural.cube(material=1), (0, 0, -4))], materials=mats
+    )
+
+
+class TestProfiling:
+    def test_phase_registry_and_report(self):
+        reset_phases()
+        with Phase("load"):
+            pass
+        with Phase("render"):
+            pass
+        with Phase("render"):
+            pass
+        rep = phase_report(rays=1000)
+        assert "load" in rep and "render" in rep and "rays/s" in rep
+        import json
+
+        m = json.loads(metrics_json(extra={"x": 1}))
+        assert m["phases"]["render"]["runs"] == 2
+        assert m["x"] == 1
+
+
+class TestProgressive:
+    def test_checkpoint_roundtrip(self, tmp_path):
+        p = str(tmp_path / "ck.npz")
+        st = FilmState(
+            film_sum=np.ones((4, 4, 3), np.float32) * 2.0,
+            batches_done=3, spp_per_batch=2, seed=7,
+        )
+        save_checkpoint(p, st)
+        st2 = load_checkpoint(p)
+        assert st2.batches_done == 3 and st2.spp_per_batch == 2 and st2.seed == 7
+        np.testing.assert_array_equal(st2.film_sum, st.film_sum)
+        np.testing.assert_allclose(st2.film(), np.clip(st.film_sum / 3, 0, 1))
+
+    def test_resume_bit_identical(self, tmp_path):
+        scene = _scene()
+        cam = look_at_camera((0, 0.4, 0.5), (0, 0, -4), h_fov=0.8, aspect=1.0)
+        s = RenderSettings(resolution=(12, 12), samples_per_pixel=2, bounce_limit=2)
+        # uninterrupted: 3 batches
+        full = render_progressive(scene, cam, s, total_spp=6, seed=5)
+        # interrupted after 1 batch, then resumed from checkpoint
+        p = str(tmp_path / "ck.npz")
+        stops = []
+
+        def stop_after_one(state):
+            stops.append(state.batches_done)
+            if state.batches_done == 1:
+                raise KeyboardInterrupt
+
+        try:
+            render_progressive(
+                scene, cam, s, total_spp=6, seed=5,
+                checkpoint_path=p, on_batch=stop_after_one,
+            )
+        except KeyboardInterrupt:
+            pass
+        resumed = render_progressive(
+            scene, cam, s, total_spp=6, seed=5, checkpoint_path=p,
+        )
+        assert resumed.batches_done == 3
+        np.testing.assert_array_equal(resumed.film_sum, full.film_sum)
+
+
+class TestMultihost:
+    def test_single_process_helpers(self):
+        from atray_tpu.dist.multihost import (
+            assemble_film,
+            global_ray_mesh,
+            host_local_slice,
+            init_distributed,
+            process_info,
+        )
+
+        init_distributed()  # no-op single process
+        assert process_info() == (0, 1)
+        assert host_local_slice(100) == slice(0, 100)
+        m = global_ray_mesh()
+        assert m.devices.size == len(jax.devices())
+        f = np.ones((4, 4, 3), np.float32)
+        np.testing.assert_array_equal(assemble_film(f), f)
+
+
+class TestCLI:
+    def test_scene_toml_loading(self, tmp_path):
+        toml = """
+[render]
+resolution = [32, 24]
+samples_per_pixel = 2
+bounce_limit = 3
+
+[camera]
+eye = [0.0, 0.5, 1.0]
+look_at = [0.0, 0.0, -4.0]
+h_fov = 0.8
+
+[[materials]]
+name = "sky"
+emission = [0.3, 0.4, 0.6]
+
+[[materials]]
+name = "red"
+albedo = [0.8, 0.2, 0.2]
+scatter = 0.5
+
+[[meshes]]
+procedural = "cube"
+material = "red"
+translate_to = [0.0, 0.0, -4.0]
+
+[[spheres]]
+center = [1.0, 0.0, -4.0]
+radius = 0.5
+material = "red"
+
+[[planes]]
+normal = [0.0, 2.0, 0.0]
+offset = -1.5
+material = "red"
+"""
+        p = tmp_path / "scene.toml"
+        p.write_text(toml)
+        from atray_tpu.cli import load_scene_file
+
+        scene, camera, settings, accel_cfg = load_scene_file(str(p))
+        assert settings.resolution == (32, 24)
+        assert settings.samples_per_pixel == 2
+        assert scene.mesh.num_faces == 12
+        assert scene.spheres.count == 1
+        assert scene.planes.count == 1
+        # plane normal got normalized
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(scene.planes.normals)[0]), 1.0, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(scene.materials.emission)[0], [0.3, 0.4, 0.6]
+        )
+
+    def test_cli_render_end_to_end(self, tmp_path):
+        toml = """
+[render]
+resolution = [24, 16]
+samples_per_pixel = 1
+bounce_limit = 2
+
+[[materials]]
+name = "sky"
+emission = [0.3, 0.4, 0.6]
+
+[[materials]]
+name = "grey"
+albedo = [0.7, 0.7, 0.7]
+
+[[meshes]]
+procedural = "cube"
+material = "grey"
+translate_to = [0.0, 0.0, -4.0]
+"""
+        sp = tmp_path / "scene.toml"
+        sp.write_text(toml)
+        out = tmp_path / "img.png"
+        from atray_tpu.cli import main
+
+        rc = main(["render", str(sp), "-o", str(out)])
+        assert rc == 0
+        data = out.read_bytes()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"

@@ -154,3 +154,41 @@ def test_render_with_hybrid_accel_matches_brute():
     np.testing.assert_allclose(
         np.asarray(film_hy), np.asarray(film_bf), atol=2e-5
     )
+
+
+def test_sorted_bounces_identical_with_explicit_uniforms():
+    # compaction is a pure permutation: with explicit uniforms (permuted
+    # alongside the rays) the image must be EXACTLY the unsorted one
+    import dataclasses
+
+    from atray_tpu.render.wavefront import draw_bounce_uniforms
+
+    mats = make_materials([
+        ((0.4, 0.5, 0.7), (0.0, 0.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0), (0.8, 0.6, 0.4), 0.3),
+    ])
+    mesh = translate(procedural.uv_sphere(rows=10, cols=10, material=1), (0, 0, -4))
+    scene = build_scene([mesh], materials=mats)
+    cam = look_at_camera((0, 0.4, 0.5), (0, 0, -4), h_fov=0.8, aspect=1.0)
+    s = RenderSettings(resolution=(16, 16), samples_per_pixel=2, bounce_limit=4)
+    ss = dataclasses.replace(s, sort_bounces=True)
+    n = 2 * 16 * 16
+    uni = draw_bounce_uniforms(jax.random.PRNGKey(11), 4, n)
+    key = jax.random.PRNGKey(0)
+    f1 = render(scene, cam, s, key, uniforms=uni)
+    f2 = render(scene, cam, ss, key, uniforms=uni)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-6)
+
+
+def test_wide_exact_matches_jnp(rng):
+    from atray_tpu.accel.wide import wide_from_mesh
+    from atray_tpu.kernels.wide_exact import wide_exact_first_hit
+
+    mesh = procedural.uv_sphere(rows=16, cols=16)
+    bvh = build_bvh(mesh.vertices, mesh.faces, KDTreeConfig(leaf_size=8))
+    wb = wide_from_mesh(mesh.vertices, mesh.faces, KDTreeConfig(leaf_size=8))
+    orig, dirn = _rays(rng, 1500)
+    t1, _, _, i1 = bvh_first_hit(bvh, None, orig, dirn)
+    t2, _, _, i2 = wide_exact_first_hit(wb, orig, dirn, interpret=True)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
