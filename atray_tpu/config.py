@@ -28,6 +28,9 @@ class RenderSettings:
     sort_bounces: re-sort rays between bounces (dead-last, then direction
         octant + spatial cell) to restore packet coherence — the
         ray-queue compaction of SURVEY.md §5.7.
+    nee: next-event estimation — explicit shadow rays to sphere lights at
+        every hit (BASELINE config 2 'shadow rays'); cuts variance from
+        small bright emitters dramatically.
     dtype: compute dtype for shading ("float32" | "bfloat16"); geometry /
         intersection always runs f32 for precision.
     """
@@ -39,6 +42,7 @@ class RenderSettings:
     use_accel: bool = True
     ray_chunk: int = 0
     sort_bounces: bool = False
+    nee: bool = False
     dtype: str = "float32"
 
     @property

@@ -279,8 +279,17 @@ def trace_radiance(
     uniforms: Optional[jnp.ndarray] = None,   # (B, R, 3) in [-1, 1]
     accel=None,
     sort_rays: bool = False,
+    nee: bool = False,
 ) -> jnp.ndarray:
     """Path-trace each ray to its radiance (R, 3).
+
+    ``nee=True`` adds next-event estimation: at every live hit one sphere
+    light is picked uniformly, a uniform point on it is sampled, and a
+    shadow ray adds ``weight * albedo * light_emission * cos * r^2/d^2 *
+    n_lights`` when unoccluded; hit emission then only counts on the
+    camera bounce (no double counting). Needs 6 uniform channels per
+    bounce (3 jitter + light pick + 2 sphere-point).
+
 
     The bounce loop is a ``lax.scan`` (reference hot loop 3,
     renderer.cpp:222-259). Stochastic bounce jitter comes either from
@@ -320,13 +329,16 @@ def trace_radiance(
     # materializing the (B, R, 3) tensor (8 GB at 1080p/64spp/5 bounces).
     face_table = build_face_table(scene)
 
-    def body_with(state, xs, accel_):
+    nee_active = nee and scene.spheres.count > 0
+    nchan = 6 if nee_active else 3
+
+    def body_with(state, xs, accel_, first_bounce):
         if uniforms is not None:
             _, uni = xs
         else:
             b = xs
             uni = jax.random.uniform(
-                jax.random.fold_in(key, b), (r, 3), jnp.float32, -1.0, 1.0
+                jax.random.fold_in(key, b), (r, nchan), jnp.float32, -1.0, 1.0
             )
         o, d, weight, color, alive = state
         ids = nearest_hit_ids(scene, o, d, accel=accel_)
@@ -341,16 +353,61 @@ def trace_radiance(
         n_o = jnp.where(backface[:, None], -n, n)
         atten = jnp.where(backface, 0.0, cos_in)
 
-        color = color + jnp.where(live_hit[:, None], weight * em[mat], 0.0)
-        weight = jnp.where(
-            live_hit[:, None], weight * al[mat] * atten[:, None], weight
-        )
+        # Emitters: with NEE their light arrives via shadow rays, so hit
+        # emission is only added on the camera bounce (else every light
+        # would be counted twice).
+        if (not nee_active) or first_bounce:
+            color = color + jnp.where(live_hit[:, None], weight * em[mat], 0.0)
 
-        new_d = _bounce_dir(d, n_o, sc[mat], uni)
         # t is INF on misses; zero it before use so the untaken where-branch
         # stays finite (INF * 0 -> NaN would poison reverse-mode grads).
         t_safe = jnp.where(hit, t, 0.0)
         hit_p = o + t_safe[:, None] * d
+
+        if nee_active:
+            # --- next-event estimation (shadow rays to sphere lights) ----
+            ns = scene.spheres.count
+            u_pick = (uni[:, 3] + 1.0) * 0.5                 # [0, 1)
+            lid = jnp.minimum((u_pick * ns).astype(jnp.int32), ns - 1)
+            lc = scene.spheres.centers[lid]
+            lr = scene.spheres.radii[lid]
+            lem = em[scene.spheres.material_id[lid]]
+            # uniform point on the light sphere from 2 uniforms
+            z = uni[:, 4]                                     # [-1, 1]
+            phi = (uni[:, 5] + 1.0) * jnp.pi                  # [0, 2pi)
+            s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+            sp = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], axis=1)
+            target = lc + lr[:, None] * sp
+            delta = target - hit_p
+            dist = jnp.sqrt(jnp.maximum(dot(delta, delta), 1.0e-12))
+            ldir = delta / dist[:, None]
+            cos_l = jnp.maximum(dot(n_o, ldir), 0.0)
+            # occlusion: nearest hit along the shadow ray closer than the
+            # light sample point (minus eps to ignore the light's own
+            # surface); dead lanes get parked rays
+            so = jnp.where(live_hit[:, None], hit_p, 1.0e7)
+            sd = jnp.where(live_hit[:, None], ldir, jnp.asarray([0.0, 0.0, 1.0]))
+            sids = nearest_hit_ids(scene, so, sd, accel=accel_)
+            is_light_itself = (sids.prim_type == PRIM_SPHERE) & (
+                sids.prim_id == lid
+            )
+            occluded = (sids.t < dist - 1.0e-3) & (~is_light_itself)
+            geom = (lr * lr) / jnp.maximum(dist * dist, lr * lr)
+            direct = (
+                weight
+                * al[mat]
+                * lem
+                * (cos_l * geom * ns)[:, None]
+            )
+            color = color + jnp.where(
+                (live_hit & ~occluded)[:, None], direct, 0.0
+            )
+
+        weight = jnp.where(
+            live_hit[:, None], weight * al[mat] * atten[:, None], weight
+        )
+
+        new_d = _bounce_dir(d, n_o, sc[mat], uni[:, 0:3])
         o = jnp.where(live_hit[:, None], hit_p, o)
         d = jnp.where(live_hit[:, None], new_d, d)
         alive = live_hit
@@ -389,7 +446,7 @@ def trace_radiance(
             xs = (jnp.int32(b), uniforms[b][ridx])
         else:
             xs = jnp.int32(b)
-        state, _ = body_with(state, xs, accel_b)
+        state, _ = body_with(state, xs, accel_b, first_bounce=(b == 0))
         if sort_rays and b < bounce_limit - 1:
             o, d, weight, color, alive = state
             perm = jnp.argsort(sort_key(o, d, alive))
@@ -408,8 +465,11 @@ def trace_radiance(
     return color
 
 
-def draw_bounce_uniforms(key: jax.Array, bounces: int, num_rays: int) -> jnp.ndarray:
-    """(B, R, 3) uniforms in [-1, 1], bounce b drawn from fold_in(key, b).
+def draw_bounce_uniforms(
+    key: jax.Array, bounces: int, num_rays: int, channels: int = 3
+) -> jnp.ndarray:
+    """(B, R, channels) uniforms in [-1, 1], bounce b from fold_in(key, b).
+    3 channels for plain path tracing; 6 when NEE is on.
 
     Exported so the CPU oracle can consume the exact numbers the device
     path uses (counter-based keys replace the reference's per-thread
@@ -418,7 +478,8 @@ def draw_bounce_uniforms(key: jax.Array, bounces: int, num_rays: int) -> jnp.nda
     return jnp.stack(
         [
             jax.random.uniform(
-                jax.random.fold_in(key, b), (num_rays, 3), jnp.float32, -1.0, 1.0
+                jax.random.fold_in(key, b), (num_rays, channels),
+                jnp.float32, -1.0, 1.0,
             )
             for b in range(bounces)
         ]
@@ -509,6 +570,7 @@ def render(
                     key=jax.random.fold_in(bounce_key, i),
                     uniforms=None if uniforms is None else uniforms[:, sl],
                     accel=accel, sort_rays=settings.sort_bounces,
+                    nee=settings.nee,
                 )
             )
         color = jnp.concatenate(pieces, axis=0)
@@ -516,7 +578,7 @@ def render(
         color = trace_radiance(
             scene, orig, dirn, settings.bounce_limit,
             key=bounce_key, uniforms=uniforms, accel=accel,
-            sort_rays=settings.sort_bounces,
+            sort_rays=settings.sort_bounces, nee=settings.nee,
         )
     color = from_tile_order(color, w, h, spp)
     film = color.reshape(spp, h, w, 3).mean(axis=0)

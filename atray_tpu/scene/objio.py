@@ -29,12 +29,41 @@ def load_obj(
     path: str,
     material_map: Optional[Dict[str, int]] = None,
     default_material: int = 1,
+    backend: str = "auto",
 ) -> TriMesh:
     """Parse an OBJ file into a TriMesh.
 
     ``material_map`` maps ``usemtl`` names to material indices in the scene's
     material table; unmapped names and untagged faces get ``default_material``.
+
+    ``backend="auto"`` uses the native C++ parser (native/atray_native.cpp)
+    when no per-material grouping is requested (it does not track usemtl);
+    otherwise, or when the native library is unavailable, the python parser
+    runs.
     """
+    if backend in ("auto", "native") and not material_map:
+        from atray_tpu.native import parse_obj_native
+
+        nat = parse_obj_native(path)
+        if nat is not None and nat["vertices"].shape[0] > 0:
+            t = nat["faces"].shape[0]
+            return TriMesh(
+                vertices=_f32(nat["vertices"]),
+                faces=_i32(nat["faces"]),
+                normals=_f32(
+                    nat["normals"] if nat["normals"].shape[0]
+                    else np.zeros((1, 3), np.float32)
+                ),
+                face_normal_idx=_i32(nat["face_normal_idx"]),
+                tex_coords=_f32(
+                    nat["tex_coords"] if nat["tex_coords"].shape[0]
+                    else np.zeros((1, 2), np.float32)
+                ),
+                face_tex_idx=_i32(nat["face_tex_idx"]),
+                material_id=_i32(np.full((t,), default_material, np.int32)),
+            )
+        if backend == "native":
+            raise RuntimeError(f"native OBJ parse failed for {path!r}")
     verts: List[Tuple[float, float, float]] = []
     norms: List[Tuple[float, float, float]] = []
     texs: List[Tuple[float, float]] = []

@@ -101,6 +101,43 @@ def main() -> None:
     rays_per_sec = rays / best
     per_chip = rays_per_sec / n_chips
 
+    # backward/forward time ratio (BASELINE metric) on a reduced config so
+    # the grad graph compiles quickly; grads flow to vertices/normals/
+    # materials through the detached-visibility convention.
+    import dataclasses
+
+    from atray_tpu.render.wavefront import trace_radiance
+    from atray_tpu.core.camera import camera_rays
+
+    bw_bounces = min(bounces, 2)   # keep the grad graph's compile bounded
+    bw_w, bw_h, bw_spp = 320, 180, 1
+    orig, dirn = camera_rays(cam, bw_w, bw_h, bw_spp)
+    key = jax.random.PRNGKey(3)
+
+    def fwd(params):
+        sc = scene.with_params(params)
+        return jnp.sum(
+            trace_radiance(sc, orig, dirn, bw_bounces, key=key, accel=accel)
+        )
+
+    t_f = t_b = bwd_fwd_ratio = float("nan")
+    if os.environ.get("ATRAY_BENCH_BWD", "1") == "1":
+        try:
+            params = scene.params()
+            jf = jax.jit(fwd)
+            jg = jax.jit(jax.grad(fwd))
+            jf(params).block_until_ready()
+            jax.block_until_ready(jg(params))
+            t0 = time.perf_counter()
+            jf(params).block_until_ready()
+            t_f = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(jg(params))
+            t_b = time.perf_counter() - t0
+            bwd_fwd_ratio = t_b / t_f
+        except Exception as e:  # report forward perf even if grads fail
+            print(f"backward probe failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -119,7 +156,7 @@ def main() -> None:
                     "spp": spp,
                     "bounces": bounces,
                     "tris": int(scene.mesh.num_faces),
-                    "wide_nodes": int(accel.wide.num_nodes),
+                    "wide_nodes": int(accel.num_nodes),
                     "chips": n_chips,
                     "device": str(jax.devices()[0]),
                     "mesh_gen_s": round(t_mesh, 3),
@@ -127,6 +164,9 @@ def main() -> None:
                     "compile_s": round(t_compile, 3),
                     "frame_s": round(best, 4),
                     "total_rays_per_sec": rays_per_sec,
+                    "backward_forward_ratio": round(bwd_fwd_ratio, 3),
+                    "forward_s_320x180": round(t_f, 4),
+                    "backward_s_320x180": round(t_b, 4),
                 }
             }
         ),

@@ -168,8 +168,10 @@ def nearest_hit(orig, dirn, sc):
     return dict(t=best_t, ptype=ptype, pid=pid, u=uu, v=vv, normal=normal, mat=mat)
 
 
-def trace(orig, dirn, sc, bounces, uniforms):
-    """Path-trace (R,3) radiance; ``uniforms`` is (B, R, 3) in [-1, 1]."""
+def trace(orig, dirn, sc, bounces, uniforms, nee=False):
+    """Path-trace (R,3) radiance; ``uniforms`` is (B, R, 3) in [-1, 1]
+    (or (B, R, 6) with ``nee=True``: 3 jitter + light pick + 2 sphere
+    point — the NEE convention documented in render/wavefront.py)."""
     r = orig.shape[0]
     o = orig.astype(np.float32).copy()
     d = dirn.astype(np.float32).copy()
@@ -177,6 +179,7 @@ def trace(orig, dirn, sc, bounces, uniforms):
     color = np.zeros((r, 3), np.float32)
     alive = np.ones(r, bool)
     em, al, scat = sc["emission"], sc["albedo"], sc["scatter"]
+    nee_active = nee and sc["sph_c"].shape[0] > 0
     for b in range(bounces):
         h = nearest_hit(o, d, sc)
         hit = h["ptype"] != PRIM_NONE
@@ -191,10 +194,40 @@ def trace(orig, dirn, sc, bounces, uniforms):
         atten = np.where(backface, 0.0, cos_in)
 
         m = h["mat"]
-        color += np.where(live[:, None], weight * em[m], 0.0)
+        if (not nee_active) or b == 0:
+            color += np.where(live[:, None], weight * em[m], 0.0)
+
+        if nee_active:
+            t_safe0 = np.where(hit, h["t"], 0.0).astype(np.float32)
+            hp0 = o + t_safe0[:, None] * d
+            ns = sc["sph_c"].shape[0]
+            uni = uniforms[b]
+            u_pick = (uni[:, 3] + 1.0) * 0.5
+            lid = np.minimum((u_pick * ns).astype(np.int32), ns - 1)
+            lc = sc["sph_c"][lid]
+            lr = sc["sph_r"][lid]
+            lem = em[sc["sph_m"][lid]]
+            z = uni[:, 4]
+            phi = (uni[:, 5] + 1.0) * np.pi
+            s = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+            spt = np.stack([s * np.cos(phi), s * np.sin(phi), z], axis=1)
+            target = lc + lr[:, None] * spt
+            delta = target - hp0
+            dist = np.sqrt(np.maximum(_dot(delta, delta), 1.0e-12))
+            ldir = delta / dist[:, None]
+            cos_l = np.maximum(_dot(n_o, ldir), 0.0)
+            so = np.where(live[:, None], hp0, 1.0e7).astype(np.float32)
+            sd = np.where(live[:, None], ldir, np.array([0, 0, 1.0])).astype(np.float32)
+            sh = nearest_hit(so, sd, sc)
+            is_light = (sh["ptype"] == PRIM_SPHERE) & (sh["pid"] == lid)
+            occluded = (sh["t"] < dist - 1.0e-3) & (~is_light)
+            geom = (lr * lr) / np.maximum(dist * dist, lr * lr)
+            direct = weight * al[m] * lem * (cos_l * geom * ns)[:, None]
+            color += np.where((live & ~occluded)[:, None], direct, 0.0)
+
         weight = np.where(live[:, None], weight * al[m] * atten[:, None], weight)
 
-        random_bounce = _normalize(n_o + uniforms[b])
+        random_bounce = _normalize(n_o + uniforms[b][:, 0:3])
         pure_bounce = _normalize(d - 2.0 * _dot(d, n_o)[:, None] * n_o)
         # NB: jnp reflect() doesn't normalize; mirror of unit d about unit n
         # is already unit, so normalizing here is a no-op up to rounding.
@@ -209,8 +242,11 @@ def trace(orig, dirn, sc, bounces, uniforms):
     return color
 
 
-def render_film(scene, orig, dirn, bounces, uniforms, spp, h, w):
+def render_film(scene, orig, dirn, bounces, uniforms, spp, h, w, nee=False):
     sc = scene_to_numpy(scene)
-    color = trace(np.asarray(orig), np.asarray(dirn), sc, bounces, np.asarray(uniforms))
+    color = trace(
+        np.asarray(orig), np.asarray(dirn), sc, bounces, np.asarray(uniforms),
+        nee=nee,
+    )
     film = color.reshape(spp, h, w, 3).mean(axis=0)
     return np.clip(film, 0.0, 1.0)

@@ -123,3 +123,64 @@ def test_spp_averaging_reduces_variance():
     var_lo = np.var(np.stack(films_lo), axis=0).mean()
     var_hi = np.var(np.stack(films_hi), axis=0).mean()
     assert var_hi < var_lo
+
+
+def test_nee_matches_oracle():
+    # shadow-ray path (BASELINE config 2): device NEE vs the numpy oracle,
+    # same 6-channel uniforms
+    import dataclasses
+
+    scene = _scene_full()
+    w, h, spp, bounces = 32, 24, 2, 3
+    cam = look_at_camera((0.0, 0.5, 1.0), (0.0, 0.0, -4.0), h_fov=0.9, aspect=w / h)
+    settings = RenderSettings(
+        resolution=(w, h), samples_per_pixel=spp, bounce_limit=bounces, nee=True,
+    )
+    n_rays = spp * h * w
+    from atray_tpu.render.wavefront import draw_bounce_uniforms
+
+    uni = draw_bounce_uniforms(jax.random.PRNGKey(7), bounces, n_rays, channels=6)
+    film_dev = render(scene, cam, settings, jax.random.PRNGKey(1), uniforms=uni)
+    orig, dirn = camera_rays(cam, w, h, spp)
+    film_ref = oracle.render_film(
+        scene, orig, dirn, bounces, np.asarray(uni), spp, h, w, nee=True
+    )
+    np.testing.assert_allclose(np.asarray(film_dev), film_ref, atol=2e-4)
+
+
+def test_nee_reduces_variance_of_small_light():
+    # A small bright emitter: NEE images across keys must agree with each
+    # other far better than brute-force path tracing does (shadow rays
+    # collapse the light-sampling variance).
+    import dataclasses
+
+    mats = make_materials([
+        ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), 0.0),      # black sky
+        ((0.0, 0.0, 0.0), (0.7, 0.7, 0.7), 0.0),      # diffuse floor
+        ((60.0, 60.0, 60.0), (0.0, 0.0, 0.0), 0.0),   # small bright light
+    ])
+    planes = Planes(
+        normals=jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+        offsets=jnp.asarray([-1.0], jnp.float32),
+        material_id=jnp.asarray([1], jnp.int32),
+    )
+    spheres = Spheres(
+        centers=jnp.asarray([[0.0, 2.5, -4.0]], jnp.float32),
+        radii=jnp.asarray([0.15], jnp.float32),
+        material_id=jnp.asarray([2], jnp.int32),
+    )
+    scene = build_scene([], spheres=spheres, planes=planes, materials=mats)
+    cam = look_at_camera((0.0, 0.5, 0.0), (0.0, -0.2, -4.0), h_fov=0.8, aspect=1.0)
+    base = RenderSettings(resolution=(16, 16), samples_per_pixel=4, bounce_limit=3)
+    nee_s = dataclasses.replace(base, nee=True)
+
+    def spread(settings):
+        films = [
+            np.asarray(render(scene, cam, settings, jax.random.PRNGKey(k)))
+            for k in range(4)
+        ]
+        return np.var(np.stack(films), axis=0).mean()
+
+    v_pt = spread(base)
+    v_nee = spread(nee_s)
+    assert v_nee < v_pt * 0.5, (v_nee, v_pt)
