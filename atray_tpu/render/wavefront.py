@@ -280,7 +280,8 @@ def trace_radiance(
     accel=None,
     sort_rays: bool = False,
     nee: bool = False,
-) -> jnp.ndarray:
+    return_stats: bool = False,
+):
     """Path-trace each ray to its radiance (R, 3).
 
     ``nee=True`` adds next-event estimation: at every live hit one sphere
@@ -440,12 +441,18 @@ def trace_radiance(
         jnp.ones((r,), bool),
     )
 
+    # total rays actually cast = sum over bounces of live paths entering the
+    # bounce (the reference's RenderTile.ray_casts counter,
+    # renderer.cpp:345,355,465-468) — here a reduction, not an atomic.
+    rays_cast = jnp.int64(0) if False else jnp.float32(0.0)
+
     for b in range(bounce_limit):
         accel_b = primary_accel if b == 0 else bounce_accel
         if uniforms is not None:
             xs = (jnp.int32(b), uniforms[b][ridx])
         else:
             xs = jnp.int32(b)
+        rays_cast = rays_cast + jnp.sum(state[4].astype(jnp.float32))
         state, _ = body_with(state, xs, accel_b, first_bounce=(b == 0))
         if sort_rays and b < bounce_limit - 1:
             o, d, weight, color, alive = state
@@ -462,6 +469,8 @@ def trace_radiance(
     color = state[3]
     if sort_rays:
         color = jnp.zeros_like(color).at[ridx].set(color)
+    if return_stats:
+        return color, {"rays_cast": rays_cast}
     return color
 
 

@@ -192,3 +192,29 @@ def test_wide_exact_matches_jnp(rng):
     t2, _, _, i2 = wide_exact_first_hit(wb, orig, dirn, interpret=True)
     np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_rays_cast_counter():
+    # parity with the reference's total-rays metric: counts live paths
+    # entering each bounce; sky-only scene -> exactly R (all die at bounce 0)
+    from atray_tpu.core.camera import camera_rays
+    from atray_tpu.render.wavefront import trace_radiance
+
+    mats = make_materials([((0.3, 0.4, 0.6), (0, 0, 0), 0.0),
+                           ((0, 0, 0), (0.7, 0.7, 0.7), 0.0)])
+    empty = build_scene([], materials=mats)
+    cam = look_at_camera((0, 0, 0), (0, 0, -4), h_fov=0.8, aspect=1.0)
+    orig, dirn = camera_rays(cam, 8, 8, spp=1)
+    _, stats = trace_radiance(
+        empty, orig, dirn, 4, key=jax.random.PRNGKey(0), return_stats=True
+    )
+    assert float(stats["rays_cast"]) == 64.0
+
+    cube_scene = build_scene(
+        [translate(procedural.cube(material=1), (0, 0, -4))], materials=mats
+    )
+    _, stats2 = trace_radiance(
+        cube_scene, orig, dirn, 4, key=jax.random.PRNGKey(0), return_stats=True
+    )
+    # hitting rays survive into later bounces -> more casts than sky-only
+    assert float(stats2["rays_cast"]) > 64.0

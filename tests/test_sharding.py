@@ -145,3 +145,29 @@ def test_graft_dryrun_multichip(devices):
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_inverse_render_example_converges(devices):
+    # BASELINE config 5 (scaled): multi-view inverse rendering with sharded
+    # rays + psum'd grads recovers the perturbed albedo
+    import runpy
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    saved = sys.argv
+    try:
+        sys.argv = ["inverse_render.py", "--views", "2", "--res", "12",
+                    "--tris", "500", "--steps", "30"]
+        with redirect_stdout(buf):
+            runpy.run_path("examples/inverse_render.py", run_name="__main__")
+    except SystemExit:
+        pass
+    finally:
+        sys.argv = saved
+    out = buf.getvalue()
+    lines = [l for l in out.splitlines() if l.startswith("step")]
+    first = float(lines[0].split("loss")[1].split()[0])
+    last = float(lines[-1].split("loss")[1].split()[0])
+    assert last < first * 0.5, out
