@@ -143,15 +143,17 @@ def build_bvh(
             int(config.max_depth),
         )
         if nat is not None:
+            # BVH leaves stay HOST numpy (kernel packers consume them
+            # host-side; relay d2h of device arrays costs seconds/MB)
             return BVH(
-                node_min=jnp.asarray(nat["node_min"]),
-                node_max=jnp.asarray(nat["node_max"]),
-                node_miss=jnp.asarray(nat["node_miss"]),
-                leaf_start=jnp.asarray(nat["leaf_start"]),
-                tri_p0=jnp.asarray(nat["tri_p0"]),
-                tri_e1=jnp.asarray(nat["tri_e1"]),
-                tri_e2=jnp.asarray(nat["tri_e2"]),
-                tri_orig_id=jnp.asarray(nat["tri_orig_id"]),
+                node_min=nat["node_min"],
+                node_max=nat["node_max"],
+                node_miss=nat["node_miss"],
+                leaf_start=nat["leaf_start"],
+                tri_p0=nat["tri_p0"],
+                tri_e1=nat["tri_e1"],
+                tri_e2=nat["tri_e2"],
+                tri_orig_id=nat["tri_orig_id"],
                 leaf_size=int(config.leaf_size),
                 max_depth=int(config.max_depth),
             )
@@ -260,14 +262,14 @@ def build_bvh(
         base += leaf_size
 
     return BVH(
-        node_min=jnp.asarray(node_min),
-        node_max=jnp.asarray(node_max),
-        node_miss=jnp.asarray(node_miss),
-        leaf_start=jnp.asarray(leaf_start),
-        tri_p0=jnp.asarray(p0),
-        tri_e1=jnp.asarray(e1),
-        tri_e2=jnp.asarray(e2),
-        tri_orig_id=jnp.asarray(oid),
+        node_min=node_min,
+        node_max=node_max,
+        node_miss=node_miss,
+        leaf_start=leaf_start,
+        tri_p0=p0,
+        tri_e1=e1,
+        tri_e2=e2,
+        tri_orig_id=oid,
         leaf_size=leaf_size,
         max_depth=int(config.max_depth),
     )

@@ -48,6 +48,7 @@ def bvh_first_hit(
     same contract as core.intersect.first_triangle_hit (its brute-force
     oracle).
     """
+    bvh = jax.tree_util.tree_map(jnp.asarray, bvh)  # host-built leaves
     r = orig.shape[0]
     ls = bvh.leaf_size
     inv = safe_inv_dir(dirn)

@@ -50,6 +50,10 @@ class WideBVH:
     leaf_size: int = dataclasses.field(metadata=dict(static=True))
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
     max_depth: int = dataclasses.field(metadata=dict(static=True))
+    # which Pallas kernel drives this accel: "exact" (single-block, best
+    # coherent) or "exact2" (two-block interleaved, ~25% faster on
+    # incoherent bounce rays). The renderer picks per bounce phase.
+    variant: str = dataclasses.field(default="exact", metadata=dict(static=True))
 
     @property
     def rows_per_leaf(self) -> int:

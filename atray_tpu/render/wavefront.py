@@ -78,6 +78,7 @@ def nearest_hit_ids(
     is given), then spheres, then planes, keeping the global minimum t.
     Entirely non-differentiable by intent (wrapped in stop_gradient).
     """
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
     orig = jax.lax.stop_gradient(orig)
     dirn = jax.lax.stop_gradient(dirn)
     r = orig.shape[0]
@@ -103,11 +104,18 @@ def nearest_hit_ids(
                     accel, orig, dirn, interpret=_pallas_interpret()
                 )
             elif isinstance(accel, WideBVH):
-                # persistent exact wide kernel: best measured on both
-                # coherent and incoherent rays (kernels/wide_exact.py)
-                from atray_tpu.kernels.wide_exact import wide_exact_first_hit
+                # persistent exact wide kernel; the interleaved variant
+                # trades a little coherent speed for faster bounce rays
+                if accel.variant == "exact2":
+                    from atray_tpu.kernels.wide_exact2 import (
+                        wide_exact2_first_hit as _hit,
+                    )
+                else:
+                    from atray_tpu.kernels.wide_exact import (
+                        wide_exact_first_hit as _hit,
+                    )
 
-                t, _, _, tid = wide_exact_first_hit(
+                t, _, _, tid = _hit(
                     accel, orig, dirn, interpret=_pallas_interpret()
                 )
             elif isinstance(accel, BVH):
@@ -158,6 +166,7 @@ def build_face_table(scene: Scene) -> Optional[jnp.ndarray]:
     """
     if scene.mesh.num_faces == 0:
         return None
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
     v = scene.mesh.vertices
     f = scene.mesh.faces
     p0 = v[f[:, 0]]
@@ -191,6 +200,7 @@ def resolve_hit(
     partials) and vertex normals. Pass ``face_table`` (build_face_table) to
     replace the 8 scattered gathers with one packed row gather.
     """
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
     r = orig.shape[0]
     t = jnp.full((r,), INF)
     normal = jnp.zeros((r, 3))
@@ -308,6 +318,11 @@ def trace_radiance(
     if uniforms is None and key is None:
         raise ValueError("need key or uniforms for stochastic bounces")
 
+    # scene leaves are host numpy by construction (see scene/data._f32);
+    # promote them here so closed-over scenes become on-device constants
+    # (a numpy leaf indexed by a traced id would fail)
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
+
     em = scene.materials.emission
     al = scene.materials.albedo
     sc = scene.materials.scatter
@@ -317,10 +332,15 @@ def trace_radiance(
     # (coherent film tiles) uses the wide/persistent kernel, later bounces
     # (scattered directions) use the exact-culling packet kernel. The first
     # bounce is peeled out of the scan so this dispatch is static.
-    from atray_tpu.accel.wide import HybridAccel
+    from atray_tpu.accel.wide import HybridAccel, WideBVH
 
     if isinstance(accel, HybridAccel):
         primary_accel, bounce_accel = accel.wide, accel.pack
+    elif isinstance(accel, WideBVH) and accel.variant == "exact":
+        # same tables, different kernel: interleaved walk for the
+        # incoherent bounces (~25% faster), single-block for primaries
+        primary_accel = accel
+        bounce_accel = dataclasses.replace(accel, variant="exact2")
     else:
         primary_accel = bounce_accel = accel
 

@@ -29,12 +29,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _f32(x) -> jnp.ndarray:
-    return jnp.asarray(x, jnp.float32)
+def _f32(x):
+    """Host-resident f32 leaf. Scene construction stays in numpy end to end:
+    on tunneled TPU runtimes each eager device op or readback costs seconds
+    (remote compile / relay d2h), so upload happens only at jit boundaries
+    (or explicitly via ``device_put_scene``)."""
+    return np.asarray(x, np.float32)
 
 
-def _i32(x) -> jnp.ndarray:
-    return jnp.asarray(x, jnp.int32)
+def _i32(x):
+    return np.asarray(x, np.int32)
 
 
 @jax.tree_util.register_dataclass
@@ -173,29 +177,29 @@ def make_materials(rows: Sequence[Tuple]) -> Materials:
 
 def empty_mesh() -> TriMesh:
     return TriMesh(
-        vertices=jnp.zeros((0, 3), jnp.float32),
-        faces=jnp.zeros((0, 3), jnp.int32),
-        normals=jnp.zeros((1, 3), jnp.float32),
-        face_normal_idx=jnp.zeros((0, 3), jnp.int32),
-        tex_coords=jnp.zeros((1, 2), jnp.float32),
-        face_tex_idx=jnp.zeros((0, 3), jnp.int32),
-        material_id=jnp.zeros((0,), jnp.int32),
+        vertices=_f32(np.zeros((0, 3))),
+        faces=_i32(np.zeros((0, 3))),
+        normals=_f32(np.zeros((1, 3))),
+        face_normal_idx=_i32(np.zeros((0, 3))),
+        tex_coords=_f32(np.zeros((1, 2))),
+        face_tex_idx=_i32(np.zeros((0, 3))),
+        material_id=_i32(np.zeros((0,))),
     )
 
 
 def empty_spheres() -> Spheres:
     return Spheres(
-        centers=jnp.zeros((0, 3), jnp.float32),
-        radii=jnp.zeros((0,), jnp.float32),
-        material_id=jnp.zeros((0,), jnp.int32),
+        centers=_f32(np.zeros((0, 3))),
+        radii=_f32(np.zeros((0,))),
+        material_id=_i32(np.zeros((0,))),
     )
 
 
 def empty_planes() -> Planes:
     return Planes(
-        normals=jnp.zeros((0, 3), jnp.float32),
-        offsets=jnp.zeros((0,), jnp.float32),
-        material_id=jnp.zeros((0,), jnp.int32),
+        normals=_f32(np.zeros((0, 3))),
+        offsets=_f32(np.zeros((0,))),
+        material_id=_i32(np.zeros((0,))),
     )
 
 
@@ -234,6 +238,12 @@ def merge_meshes(meshes: Sequence[TriMesh]) -> TriMesh:
         face_tex_idx=_i32(np.concatenate(ftidx)),
         material_id=_i32(np.concatenate(mids)),
     )
+
+
+def device_put_scene(scene: "Scene") -> "Scene":
+    """Upload every leaf to the default device once (for render loops that
+    pass the scene as a jit argument repeatedly)."""
+    return jax.device_put(scene)
 
 
 def build_scene(

@@ -10,6 +10,11 @@ scale ladder is continuously adjustable:
 - ``uv_sphere(45, 45)``          — ~4k      (Monkey tier)
 - ``dragon_proxy()``             — ~139k    (Dragon tier: a displaced sphere
                                     with sinusoidal "scales", deterministic)
+
+Implementation note: everything here runs in HOST numpy and uploads to the
+device exactly once at TriMesh construction. On tunneled TPU runtimes both
+eager device ops (remote compiles) and device->host readbacks are seconds
+each, so generators must never round-trip through jnp.
 """
 
 from __future__ import annotations
@@ -17,26 +22,43 @@ from __future__ import annotations
 import numpy as np
 
 from atray_tpu.scene.data import TriMesh, _f32, _i32
-from atray_tpu.scene.transforms import compute_vertex_normals
+
+
+def _vertex_normals_np(v: np.ndarray, f: np.ndarray) -> np.ndarray:
+    """Area-weighted smooth vertex normals (host math)."""
+    v64 = v.astype(np.float64)
+    e1 = v64[f[:, 1]] - v64[f[:, 0]]
+    e2 = v64[f[:, 2]] - v64[f[:, 0]]
+    fn = np.cross(e1, e2)
+    acc = np.zeros_like(v64)
+    for c in range(3):
+        np.add.at(acc, f[:, c], fn)
+    norm = np.linalg.norm(acc, axis=1, keepdims=True)
+    return (acc / np.maximum(norm, 1e-20)).astype(np.float32)
 
 
 def _mesh(vertices: np.ndarray, faces: np.ndarray, material: int, smooth: bool) -> TriMesh:
-    t = faces.shape[0]
-    m = TriMesh(
-        vertices=_f32(vertices.astype(np.float32)),
-        faces=_i32(faces.astype(np.int32)),
-        normals=_f32(np.zeros((1, 3), np.float32)),
-        face_normal_idx=_i32(np.full((t, 3), -1, np.int32)),
+    v = np.ascontiguousarray(vertices, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    t = f.shape[0]
+    if smooth:
+        normals = _vertex_normals_np(v, f)
+        fnidx = f
+    else:
+        normals = np.zeros((1, 3), np.float32)
+        fnidx = np.full((t, 3), -1, np.int32)
+    return TriMesh(
+        vertices=_f32(v),
+        faces=_i32(f),
+        normals=_f32(normals),
+        face_normal_idx=_i32(fnidx),
         tex_coords=_f32(np.zeros((1, 2), np.float32)),
         face_tex_idx=_i32(np.full((t, 3), -1, np.int32)),
         material_id=_i32(np.full((t,), material, np.int32)),
     )
-    return compute_vertex_normals(m) if smooth else m
 
 
-def cube(size: float = 2.0, material: int = 1, smooth: bool = False) -> TriMesh:
-    """Axis-aligned cube centered at origin, 12 triangles with outward
-    (counter-clockwise) winding so backface culling keeps exteriors visible."""
+def _cube_np(size: float):
     h = size * 0.5
     v = np.array(
         [
@@ -57,7 +79,14 @@ def cube(size: float = 2.0, material: int = 1, smooth: bool = False) -> TriMesh:
     for a, b, c, d in quads:
         f.append((a, b, c))
         f.append((a, c, d))
-    return _mesh(v, np.array(f), material, smooth)
+    return v, np.array(f)
+
+
+def cube(size: float = 2.0, material: int = 1, smooth: bool = False) -> TriMesh:
+    """Axis-aligned cube centered at origin, 12 triangles with outward
+    (counter-clockwise) winding so backface culling keeps exteriors visible."""
+    v, f = _cube_np(size)
+    return _mesh(v, f, material, smooth)
 
 
 def quad(
@@ -69,6 +98,31 @@ def quad(
     return _mesh(v, f, material, smooth=False)
 
 
+def _uv_sphere_np(rows: int, cols: int, radius: float):
+    ii = np.arange(rows + 1, dtype=np.float64)
+    jj = np.arange(cols, dtype=np.float64)
+    theta = ii / rows * np.pi
+    phi = jj / cols * 2.0 * np.pi
+    st, ct = np.sin(theta), np.cos(theta)
+    sp, cp = np.sin(phi), np.cos(phi)
+    x = radius * st[:, None] * cp[None, :]
+    y = radius * ct[:, None] * np.ones_like(sp)[None, :]
+    z = radius * st[:, None] * sp[None, :]
+    v = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+
+    # vectorized face construction (python loops cost minutes at 139k tris)
+    ii2 = np.arange(rows)[:, None]
+    jj2 = np.arange(cols)[None, :]
+    a = ii2 * cols + jj2
+    b = ii2 * cols + (jj2 + 1) % cols
+    c = (ii2 + 1) * cols + (jj2 + 1) % cols
+    d = (ii2 + 1) * cols + jj2
+    upper = np.stack([a, b, c], axis=-1)[1:].reshape(-1, 3)          # i > 0
+    lower = np.stack([a, c, d], axis=-1)[:-1].reshape(-1, 3)         # i < rows-1
+    faces = np.concatenate([upper, lower])  # wound outward (CCW from outside)
+    return v, faces
+
+
 def uv_sphere(
     rows: int = 32,
     cols: int = 32,
@@ -77,28 +131,8 @@ def uv_sphere(
     smooth: bool = True,
 ) -> TriMesh:
     """Latitude-longitude sphere: 2*rows*cols - 2*cols triangles."""
-    ii = np.arange(rows + 1, dtype=np.float64)
-    jj = np.arange(cols, dtype=np.float64)
-    theta = ii / rows * np.pi            # (rows+1,)
-    phi = jj / cols * 2.0 * np.pi        # (cols,)
-    st, ct = np.sin(theta), np.cos(theta)
-    sp, cp = np.sin(phi), np.cos(phi)
-    x = radius * st[:, None] * cp[None, :]
-    y = radius * ct[:, None] * np.ones_like(sp)[None, :]
-    z = radius * st[:, None] * sp[None, :]
-    v = np.stack([x, y, z], axis=-1).reshape(-1, 3)  # (rows+1)*cols
-
-    # vectorized face construction (python loops cost minutes at 139k tris)
-    ii = np.arange(rows)[:, None]          # (rows, 1)
-    jj = np.arange(cols)[None, :]          # (1, cols)
-    a = ii * cols + jj
-    b = ii * cols + (jj + 1) % cols
-    c = (ii + 1) * cols + (jj + 1) % cols
-    d = (ii + 1) * cols + jj
-    upper = np.stack([a, b, c], axis=-1)[1:].reshape(-1, 3)          # i > 0
-    lower = np.stack([a, c, d], axis=-1)[:-1].reshape(-1, 3)         # i < rows-1
-    faces = np.concatenate([upper, lower])  # wound outward (CCW from outside)
-    return _mesh(v, faces, material, smooth)
+    v, f = _uv_sphere_np(rows, cols, radius)
+    return _mesh(v, f, material, smooth)
 
 
 def dragon_proxy(
@@ -117,8 +151,7 @@ def dragon_proxy(
     """
     # 2*r*c - 2*c tris ~= target with r == c  ->  r ~ sqrt(target/2) + 1
     n = int(np.sqrt(target_tris / 2.0)) + 1
-    base = uv_sphere(rows=n, cols=n, radius=1.0, material=material, smooth=False)
-    v = np.asarray(base.vertices, np.float64)
+    v, f = _uv_sphere_np(n, n, 1.0)
     rng = np.random.default_rng(seed)
     disp = np.zeros(v.shape[0])
     for freq in (3.0, 7.0, 13.0, 29.0):
@@ -127,5 +160,4 @@ def dragon_proxy(
         amp = 0.35 / freq
         disp = disp + amp * np.sin(v @ k.T + ph).sum(axis=1)
     v = v * (1.0 + disp)[:, None]
-    out = _mesh(v, np.asarray(base.faces), material, smooth=False)
-    return compute_vertex_normals(out) if smooth else out
+    return _mesh(v, f, material, smooth)
