@@ -84,3 +84,36 @@ def save_png(path: str, film, srgb: bool = False, avoid_collision: bool = True) 
     with open(path, "wb") as fh:
         fh.write(data)
     return path
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Minimal 24-bit BMP encoder — format parity with the reference's
+    writer (texture.cpp:15-131: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    bottom-up rows, BGR order, 4-byte row padding)."""
+    h, w, c = rgb.shape
+    assert c == 3 and rgb.dtype == np.uint8
+    row_size = (3 * w + 3) & ~3
+    image_size = row_size * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + image_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size,
+                       2835, 2835, 0, 0)
+    rows = []
+    pad = b"\x00" * (row_size - 3 * w)
+    bgr = rgb[:, :, ::-1]
+    for y in range(h - 1, -1, -1):       # bottom-up
+        rows.append(bgr[y].tobytes() + pad)
+    return header + info + b"".join(rows)
+
+
+def save_bmp(path: str, film, srgb: bool = False, avoid_collision: bool = True) -> str:
+    """Write the film as BMP (the reference's native format)."""
+    if srgb:
+        film = linear_to_srgb(jnp.asarray(film))
+    data = encode_bmp(to_uint8(film))
+    if avoid_collision:
+        path = unique_path(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(data)
+    return path

@@ -75,8 +75,10 @@ def main() -> None:
     t_build = time.perf_counter() - t0
 
     cam = look_at_camera((0.0, 1.0, 0.8), (0.0, 0.0, -4.0), h_fov=0.9, aspect=w / h)
+    chunk = int(os.environ.get("ATRAY_BENCH_CHUNK", str(2 * 1920 * 1080)))
     settings = RenderSettings(
-        resolution=(w, h), samples_per_pixel=spp, bounce_limit=bounces
+        resolution=(w, h), samples_per_pixel=spp, bounce_limit=bounces,
+        ray_chunk=chunk,
     )
 
     n_chips = jax.device_count()

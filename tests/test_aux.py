@@ -194,3 +194,40 @@ translate_to = [0.0, 0.0, -4.0]
         assert rc == 0
         data = out.read_bytes()
         assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+class TestDebugViz:
+    def test_cost_heatmap_and_boxes(self, tmp_path):
+        from atray_tpu.accel.bvh import build_bvh
+        from atray_tpu.config import KDTreeConfig
+        from atray_tpu.core.camera import look_at_camera
+        from atray_tpu.scene.transforms import translate
+        from atray_tpu.scene import procedural
+        from atray_tpu.utils.debugviz import bvh_level_boxes, save_cost_heatmap
+
+        mesh = translate(procedural.uv_sphere(rows=10, cols=10, material=1),
+                         (0, 0, -4))
+        scene = build_scene([mesh])
+        bvh = build_bvh(scene.mesh.vertices, scene.mesh.faces, KDTreeConfig())
+        cam = look_at_camera((0, 0.4, 0.5), (0, 0, -4), h_fov=0.8, aspect=1.0)
+        p = save_cost_heatmap(str(tmp_path / "cost.png"), bvh, scene, cam,
+                              width=48, height=32)
+        assert (tmp_path / "cost.png").exists()
+        boxes = bvh_level_boxes(bvh, level=2)
+        assert boxes.shape[1:] == (2, 3) and boxes.shape[0] >= 1
+        assert (boxes[:, 1] >= boxes[:, 0]).all()
+
+
+class TestBMP:
+    def test_bmp_roundtrip_header(self, tmp_path):
+        from atray_tpu.render.film import save_bmp
+
+        film = np.random.default_rng(0).uniform(0, 1, (7, 5, 3)).astype(np.float32)
+        p = save_bmp(str(tmp_path / "img.bmp"), film)
+        data = open(p, "rb").read()
+        assert data[:2] == b"BM"
+        import struct as st
+
+        w = st.unpack("<i", data[18:22])[0]
+        h = st.unpack("<i", data[22:26])[0]
+        assert (w, h) == (5, 7)
