@@ -1,0 +1,354 @@
+"""Fused traversal + shading-data kernel (the forward-path workhorse).
+
+Identical traversal to kernels/wide_exact2.py (interleaved exact wide-BVH
+walk), but leaf records are the stride-32 SHADED layout of accel/shaded.py:
+at every candidate-triangle test the record's vertex normals and material
+constants are already in registers, so a winning hit updates not just
+(t, id) but the barycentrically interpolated shading normal and the
+emission/albedo/scatter constants — per ray, as pure vector selects.
+
+Output planes per ray (f32): [t, id(bitcast), nx, ny, nz, em_r, em_g,
+em_b, al_r, al_g, al_b, scatter]. The renderer's fast path consumes these
+directly: the forward pass performs ZERO per-ray gathers (XLA row gathers
+measured ~250 M elem/s on v5e were the frame bottleneck).
+
+Gradients: wavefront.fused_hit_shade wraps this in a custom VJP whose
+backward replays the differentiable resolve from the face id.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from atray_tpu.accel.shaded import RECS_PER_ROW, STRIDE32, ShadedWideBVH
+from atray_tpu.kernels.traverse_pallas import BLOCK_LANE
+
+_INF = 3.0e38
+_T_MIN = 1.0e-4
+STACK_CAP = 192
+NOUT = 12
+
+
+def _wide_shade_kernel(
+    rays_hbm,                        # ANY (6, rows, 128)
+    cboxes_ref, clinks_ref, tris_ref,
+    out_hbm,                         # ANY (NOUT, rows, 128)
+    rblk_ref,                        # VMEM (6, 2S, 128)
+    oblk_ref,                        # VMEM (NOUT, 2S, 128)
+    stacks_ref,                      # SMEM (2, stack_cap)
+    in_sem, out_sem,
+    *, leaf_size: int, rows_per_leaf: int, block_sub: int, num_pairs: int,
+):
+    S = block_sub
+
+    def process_pair(pair, _):
+        copy_in = pltpu.make_async_copy(
+            rays_hbm.at[:, pl.ds(pair * 2 * S, 2 * S), :],
+            rblk_ref,
+            in_sem,
+        )
+        copy_in.start()
+        copy_in.wait()
+
+        onesf = rblk_ref[0, 0:1, :] * jnp.float32(0.0) + jnp.float32(1.0)
+        onesi = onesf.astype(jnp.int32)
+
+        def bc(x11, ones):
+            return x11 * ones
+
+        inf = jnp.float32(_INF)
+        oblk_ref[0] = jnp.full((2 * S, BLOCK_LANE), _INF, jnp.float32)
+        oblk_ref[1] = pltpu.bitcast(
+            jnp.full((2 * S, BLOCK_LANE), -1, jnp.int32), jnp.float32
+        )
+        for k in range(2, NOUT):
+            oblk_ref[k] = jnp.zeros((2 * S, BLOCK_LANE), jnp.float32)
+
+        def make_block(half: int):
+            lo = half * S
+            ox = rblk_ref[0, lo : lo + S]
+            oy = rblk_ref[1, lo : lo + S]
+            oz = rblk_ref[2, lo : lo + S]
+            dx = rblk_ref[3, lo : lo + S]
+            dy = rblk_ref[4, lo : lo + S]
+            dz = rblk_ref[5, lo : lo + S]
+            big = jnp.float32(1.0e30)
+            idx = jnp.where(dx == 0.0, big, 1.0 / jnp.where(dx == 0.0, 1.0, dx))
+            idy = jnp.where(dy == 0.0, big, 1.0 / jnp.where(dy == 0.0, 1.0, dy))
+            idz = jnp.where(dz == 0.0, big, 1.0 / jnp.where(dz == 0.0, 1.0, dz))
+
+            def raymask(node):
+                row = cboxes_ref[pl.ds(node, 1), :]
+                best_t = oblk_ref[0, lo : lo + S]
+                rm = jnp.zeros((S, BLOCK_LANE), jnp.int32)
+                for c in range(8):
+                    blx = bc(row[:, c : c + 1], onesf)
+                    bly = bc(row[:, 8 + c : 9 + c], onesf)
+                    blz = bc(row[:, 16 + c : 17 + c], onesf)
+                    bhx = bc(row[:, 24 + c : 25 + c], onesf)
+                    bhy = bc(row[:, 32 + c : 33 + c], onesf)
+                    bhz = bc(row[:, 40 + c : 41 + c], onesf)
+                    tx0 = (blx - ox) * idx
+                    tx1 = (bhx - ox) * idx
+                    ty0 = (bly - oy) * idy
+                    ty1 = (bhy - oy) * idy
+                    tz0 = (blz - oz) * idz
+                    tz1 = (bhz - oz) * idz
+                    t_near = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1),
+                    )
+                    t_far = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1),
+                    )
+                    bhit = (t_near <= t_far) & (t_far > 0.0) & (t_near < best_t)
+                    rm = rm | jnp.where(bhit, jnp.int32(1 << c), 0)
+                m = rm
+                s = m.shape[0]
+                while s > 1:
+                    m = m[: s // 2] | m[s // 2 : 2 * (s // 2)]
+                    s //= 2
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    m = m | pltpu.roll(m, shift=sh, axis=1)
+                return m
+
+            def leaf_phase(leaf_row):
+                t_b = oblk_ref[0, lo : lo + S]
+                id_b = pltpu.bitcast(oblk_ref[1, lo : lo + S], jnp.int32)
+                nx_b = oblk_ref[2, lo : lo + S]
+                ny_b = oblk_ref[3, lo : lo + S]
+                nz_b = oblk_ref[4, lo : lo + S]
+                emr_b = oblk_ref[5, lo : lo + S]
+                emg_b = oblk_ref[6, lo : lo + S]
+                emb_b = oblk_ref[7, lo : lo + S]
+                alr_b = oblk_ref[8, lo : lo + S]
+                alg_b = oblk_ref[9, lo : lo + S]
+                alb_b = oblk_ref[10, lo : lo + S]
+                sc_b = oblk_ref[11, lo : lo + S]
+                rows = tris_ref[pl.ds(leaf_row, rows_per_leaf), :]
+                for kk in range(leaf_size):
+                    rr = kk // RECS_PER_ROW
+                    base = STRIDE32 * (kk % RECS_PER_ROW)
+                    rec = rows[rr : rr + 1, base : base + STRIDE32]
+                    p0x = bc(rec[:, 0:1], onesf)
+                    p0y = bc(rec[:, 1:2], onesf)
+                    p0z = bc(rec[:, 2:3], onesf)
+                    e1x = bc(rec[:, 3:4], onesf)
+                    e1y = bc(rec[:, 4:5], onesf)
+                    e1z = bc(rec[:, 5:6], onesf)
+                    e2x = bc(rec[:, 6:7], onesf)
+                    e2y = bc(rec[:, 7:8], onesf)
+                    e2z = bc(rec[:, 8:9], onesf)
+                    fid = bc(pltpu.bitcast(rec[:, 9:10], jnp.int32), onesi)
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    valid = det > jnp.float32(1.0e-12)
+                    inv_det = jnp.where(
+                        valid, 1.0 / jnp.where(valid, det, 1.0), 0.0
+                    )
+                    tvx = ox - p0x
+                    tvy = oy - p0y
+                    tvz = oz - p0z
+                    uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    hit = (
+                        valid
+                        & (uu >= 0.0)
+                        & (vv >= 0.0)
+                        & (uu + vv <= 1.0)
+                        & (tt > jnp.float32(_T_MIN))
+                        & (tt < t_b)
+                    )
+                    # interpolated shading normal of this candidate
+                    w0 = 1.0 - uu - vv
+                    n0x = bc(rec[:, 10:11], onesf)
+                    n0y = bc(rec[:, 11:12], onesf)
+                    n0z = bc(rec[:, 12:13], onesf)
+                    n1x = bc(rec[:, 13:14], onesf)
+                    n1y = bc(rec[:, 14:15], onesf)
+                    n1z = bc(rec[:, 15:16], onesf)
+                    n2x = bc(rec[:, 16:17], onesf)
+                    n2y = bc(rec[:, 17:18], onesf)
+                    n2z = bc(rec[:, 18:19], onesf)
+                    nx = w0 * n0x + uu * n1x + vv * n2x
+                    ny = w0 * n0y + uu * n1y + vv * n2y
+                    nz = w0 * n0z + uu * n1z + vv * n2z
+                    rlen = jax.lax.rsqrt(
+                        jnp.maximum(nx * nx + ny * ny + nz * nz, 1.0e-20)
+                    )
+                    nx = nx * rlen
+                    ny = ny * rlen
+                    nz = nz * rlen
+                    t_b = jnp.where(hit, tt, t_b)
+                    id_b = jnp.where(hit, fid, id_b)
+                    nx_b = jnp.where(hit, nx, nx_b)
+                    ny_b = jnp.where(hit, ny, ny_b)
+                    nz_b = jnp.where(hit, nz, nz_b)
+                    emr_b = jnp.where(hit, bc(rec[:, 20:21], onesf), emr_b)
+                    emg_b = jnp.where(hit, bc(rec[:, 21:22], onesf), emg_b)
+                    emb_b = jnp.where(hit, bc(rec[:, 22:23], onesf), emb_b)
+                    alr_b = jnp.where(hit, bc(rec[:, 23:24], onesf), alr_b)
+                    alg_b = jnp.where(hit, bc(rec[:, 24:25], onesf), alg_b)
+                    alb_b = jnp.where(hit, bc(rec[:, 25:26], onesf), alb_b)
+                    sc_b = jnp.where(hit, bc(rec[:, 26:27], onesf), sc_b)
+                oblk_ref[0, lo : lo + S] = t_b
+                oblk_ref[1, lo : lo + S] = pltpu.bitcast(id_b, jnp.float32)
+                oblk_ref[2, lo : lo + S] = nx_b
+                oblk_ref[3, lo : lo + S] = ny_b
+                oblk_ref[4, lo : lo + S] = nz_b
+                oblk_ref[5, lo : lo + S] = emr_b
+                oblk_ref[6, lo : lo + S] = emg_b
+                oblk_ref[7, lo : lo + S] = emb_b
+                oblk_ref[8, lo : lo + S] = alr_b
+                oblk_ref[9, lo : lo + S] = alg_b
+                oblk_ref[10, lo : lo + S] = alb_b
+                oblk_ref[11, lo : lo + S] = sc_b
+
+            return raymask, leaf_phase
+
+        rmA, leafA = make_block(0)
+        rmB, leafB = make_block(1)
+
+        def wcond(state):
+            spA, spB = state
+            return (spA > 0) | (spB > 0)
+
+        def scalar_phase(half, live, sp_popped, mask, node, leaf_fn):
+            sp = sp_popped
+            for c in range(8):
+                link = clinks_ref[c, node]
+                hit_c = live & ((mask // (2 ** c)) % 2 == 1)
+                is_node = hit_c & (link >= 0)
+                is_leaf = hit_c & (link < 0) & (link > -2147483647)
+
+                @pl.when(is_node)
+                def _(sp_=sp, link=link, half=half):
+                    stacks_ref[half, sp_] = link
+
+                @pl.when(is_leaf)
+                def _(link=link, leaf_fn=leaf_fn):
+                    leaf_fn(-(link + 1))
+
+                sp = sp + is_node.astype(jnp.int32)
+            return sp
+
+        def wbody(state):
+            spA, spB = state
+            liveA = spA > 0
+            liveB = spB > 0
+            popA = jnp.maximum(spA - 1, 0)
+            popB = jnp.maximum(spB - 1, 0)
+            nodeA = stacks_ref[0, popA]
+            nodeB = stacks_ref[1, popB]
+            mA_row = rmA(nodeA)
+            mB_row = rmB(nodeB)
+            mA = mA_row[0, 0]
+            mB = mB_row[0, 0]
+            newA = scalar_phase(0, liveA, popA, mA, nodeA, leafA)
+            newB = scalar_phase(1, liveB, popB, mB, nodeB, leafB)
+            return (jnp.where(liveA, newA, spA),
+                    jnp.where(liveB, newB, spB))
+
+        stacks_ref[0, 0] = jnp.int32(0)
+        stacks_ref[1, 0] = jnp.int32(0)
+        jax.lax.while_loop(wcond, wbody, (jnp.int32(1), jnp.int32(1)))
+
+        copy_out = pltpu.make_async_copy(
+            oblk_ref,
+            out_hbm.at[:, pl.ds(pair * 2 * S, 2 * S), :],
+            out_sem,
+        )
+        copy_out.start()
+        copy_out.wait()
+        return 0
+
+    jax.lax.fori_loop(0, num_pairs, process_pair, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_sub"))
+def wide_shade_first_hit(
+    swbvh: ShadedWideBVH,
+    orig: jnp.ndarray,
+    dirn: jnp.ndarray,
+    interpret: bool = False,
+    block_sub: int = 8,
+):
+    """Fused nearest-hit + shading data.
+
+    Returns dict(t, id, normal (R,3), emission (R,3), albedo (R,3),
+    scatter (R,)); miss = (INF, -1, zeros...). Pads by replicating the
+    last ray.
+    """
+    n = orig.shape[0]
+    block = block_sub * BLOCK_LANE
+    pad = (-n) % (2 * block)
+    if pad:
+        orig = jnp.concatenate([orig, jnp.tile(orig[-1:], (pad, 1))], axis=0)
+        dirn = jnp.concatenate([dirn, jnp.tile(dirn[-1:], (pad, 1))], axis=0)
+    total = orig.shape[0]
+    rows = total // BLOCK_LANE
+    num_pairs = total // (2 * block)
+
+    rays = jnp.stack(
+        [
+            orig[:, 0].reshape(rows, BLOCK_LANE),
+            orig[:, 1].reshape(rows, BLOCK_LANE),
+            orig[:, 2].reshape(rows, BLOCK_LANE),
+            dirn[:, 0].reshape(rows, BLOCK_LANE),
+            dirn[:, 1].reshape(rows, BLOCK_LANE),
+            dirn[:, 2].reshape(rows, BLOCK_LANE),
+        ]
+    )
+
+    stack_cap = max(STACK_CAP, 8 * (swbvh.max_depth + 2))
+    out = pl.pallas_call(
+        functools.partial(
+            _wide_shade_kernel,
+            leaf_size=swbvh.leaf_size,
+            rows_per_leaf=swbvh.rows_per_leaf,
+            block_sub=block_sub,
+            num_pairs=num_pairs,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((NOUT, rows, BLOCK_LANE), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((6, 2 * block_sub, BLOCK_LANE), jnp.float32),
+            pltpu.VMEM((NOUT, 2 * block_sub, BLOCK_LANE), jnp.float32),
+            pltpu.SMEM((2, stack_cap), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(rays, swbvh.cboxes, swbvh.clinks, swbvh.tris)
+
+    def flat(k):
+        return out[k].reshape(-1)[:n]
+
+    return {
+        "t": flat(0),
+        "id": jax.lax.bitcast_convert_type(out[1], jnp.int32).reshape(-1)[:n],
+        "normal": jnp.stack([flat(2), flat(3), flat(4)], axis=1),
+        "emission": jnp.stack([flat(5), flat(6), flat(7)], axis=1),
+        "albedo": jnp.stack([flat(8), flat(9), flat(10)], axis=1),
+        "scatter": flat(11),
+    }

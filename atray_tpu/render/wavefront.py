@@ -353,6 +353,116 @@ def trace_radiance(
     nee_active = nee and scene.spheres.count > 0
     nchan = 6 if nee_active else 3
 
+    from atray_tpu.accel.shaded import ShadedWideBVH
+
+    def _onehot_rows(idx, table):
+        """Gather-free row pickup for SMALL tables: one-hot (R, K) matmul
+        against (K, C) — rides the MXU instead of the slow gather path."""
+        k = table.shape[0]
+        oh = (idx[:, None] == jnp.arange(k)[None, :]).astype(table.dtype)
+        return oh @ table
+
+    def _hit_inputs(o, d, accel_):
+        """(t, n, hit, em_ray, al_ray, sc_ray, aux) for the nearest hit.
+
+        Standard path: discrete ids + differentiable resolve + material
+        gathers. Fused path (ShadedWideBVH): the traversal kernel already
+        returns normal and material constants — zero per-ray gathers;
+        sphere/plane lanes are patched in with one-hot matmuls.
+        ``aux`` carries (sphere_mask, sphere_id) for NEE occlusion tests.
+        """
+        if isinstance(accel_, ShadedWideBVH):
+            from atray_tpu.kernels.wide_shade import wide_shade_first_hit
+
+            fo = wide_shade_first_hit(
+                accel_, jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+                interpret=_pallas_interpret(),
+            )
+            t = fo["t"]
+            n = fo["normal"]
+            em_ray = fo["emission"]
+            al_ray = fo["albedo"]
+            sc_ray = fo["scatter"]
+            hit = fo["id"] >= 0
+            sph_mask = jnp.zeros((r,), bool)
+            sph_id = jnp.full((r,), -1, jnp.int32)
+            if scene.spheres.count > 0:
+                ts, sid = sphere_hits(
+                    o, d, scene.spheres.centers, scene.spheres.radii
+                )
+                closer = ts < t
+                p = o + ts[:, None] * d
+                c_rows = _onehot_rows(sid, scene.spheres.centers)
+                n_s = normalize(p - c_rows)
+                mat_s = _onehot_rows(
+                    sid, scene.spheres.material_id[:, None].astype(jnp.float32)
+                )[:, 0].astype(jnp.int32)
+                t = jnp.where(closer, ts, t)
+                n = jnp.where(closer[:, None], n_s, n)
+                em_ray = jnp.where(closer[:, None], _onehot_rows(mat_s, em), em_ray)
+                al_ray = jnp.where(closer[:, None], _onehot_rows(mat_s, al), al_ray)
+                sc_ray = jnp.where(
+                    closer, _onehot_rows(mat_s, sc[:, None])[:, 0], sc_ray
+                )
+                hit = hit | (closer & (sid >= 0))
+                sph_mask = closer & (sid >= 0)
+                sph_id = jnp.where(sph_mask, sid, -1)
+            if scene.planes.count > 0:
+                tp, pid = plane_hits(
+                    o, d, scene.planes.normals, scene.planes.offsets
+                )
+                closer = tp < t
+                n_p = _onehot_rows(pid, scene.planes.normals)
+                mat_p = _onehot_rows(
+                    pid, scene.planes.material_id[:, None].astype(jnp.float32)
+                )[:, 0].astype(jnp.int32)
+                t = jnp.where(closer, tp, t)
+                n = jnp.where(closer[:, None], n_p, n)
+                em_ray = jnp.where(closer[:, None], _onehot_rows(mat_p, em), em_ray)
+                al_ray = jnp.where(closer[:, None], _onehot_rows(mat_p, al), al_ray)
+                sc_ray = jnp.where(
+                    closer, _onehot_rows(mat_p, sc[:, None])[:, 0], sc_ray
+                )
+                hit = hit | (closer & (pid >= 0))
+                sph_mask = sph_mask & ~closer
+                sph_id = jnp.where(sph_mask, sph_id, -1)
+            return t, n, hit, em_ray, al_ray, sc_ray, (sph_mask, sph_id)
+
+        ids = nearest_hit_ids(scene, o, d, accel=accel_)
+        t, n, mat, hit = resolve_hit(scene, o, d, ids, face_table=face_table)
+        sph_mask = ids.prim_type == PRIM_SPHERE
+        return (
+            t, n, hit, em[mat], al[mat], sc[mat],
+            (sph_mask, jnp.where(sph_mask, ids.prim_id, -1)),
+        )
+
+    def _occlusion(o, d, accel_, dist, lid):
+        """True where something other than the picked light blocks the
+        shadow ray before ``dist``."""
+        if isinstance(accel_, ShadedWideBVH):
+            from atray_tpu.kernels.wide_shade import wide_shade_first_hit
+
+            t = wide_shade_first_hit(
+                accel_, o, d, interpret=_pallas_interpret()
+            )["t"]
+            is_light = jnp.zeros_like(lid, dtype=bool)
+            if scene.spheres.count > 0:
+                ts, sid = sphere_hits(
+                    o, d, scene.spheres.centers, scene.spheres.radii
+                )
+                is_light = (ts < t) & (sid == lid)
+                t = jnp.minimum(t, ts)
+            if scene.planes.count > 0:
+                tp, _ = plane_hits(
+                    o, d, scene.planes.normals, scene.planes.offsets
+                )
+                is_light = is_light & ~(tp < t)
+                t = jnp.minimum(t, tp)
+            return (t < dist - 1.0e-3) & (~is_light)
+        sids = nearest_hit_ids(scene, o, d, accel=accel_)
+        is_light = (sids.prim_type == PRIM_SPHERE) & (sids.prim_id == lid)
+        return (sids.t < dist - 1.0e-3) & (~is_light)
+
     def body_with(state, xs, accel_, first_bounce):
         if uniforms is not None:
             _, uni = xs
@@ -362,8 +472,7 @@ def trace_radiance(
                 jax.random.fold_in(key, b), (r, nchan), jnp.float32, -1.0, 1.0
             )
         o, d, weight, color, alive = state
-        ids = nearest_hit_ids(scene, o, d, accel=accel_)
-        t, n, mat, hit = resolve_hit(scene, o, d, ids, face_table=face_table)
+        t, n, hit, em_ray, al_ray, sc_ray, _aux = _hit_inputs(o, d, accel_)
 
         miss_now = alive & ~hit
         color = color + jnp.where(miss_now[:, None], weight * sky, 0.0)
@@ -378,7 +487,7 @@ def trace_radiance(
         # emission is only added on the camera bounce (else every light
         # would be counted twice).
         if (not nee_active) or first_bounce:
-            color = color + jnp.where(live_hit[:, None], weight * em[mat], 0.0)
+            color = color + jnp.where(live_hit[:, None], weight * em_ray, 0.0)
 
         # t is INF on misses; zero it before use so the untaken where-branch
         # stays finite (INF * 0 -> NaN would poison reverse-mode grads).
@@ -408,15 +517,11 @@ def trace_radiance(
             # surface); dead lanes get parked rays
             so = jnp.where(live_hit[:, None], hit_p, 1.0e7)
             sd = jnp.where(live_hit[:, None], ldir, jnp.asarray([0.0, 0.0, 1.0]))
-            sids = nearest_hit_ids(scene, so, sd, accel=accel_)
-            is_light_itself = (sids.prim_type == PRIM_SPHERE) & (
-                sids.prim_id == lid
-            )
-            occluded = (sids.t < dist - 1.0e-3) & (~is_light_itself)
+            occluded = _occlusion(so, sd, accel_, dist, lid)
             geom = (lr * lr) / jnp.maximum(dist * dist, lr * lr)
             direct = (
                 weight
-                * al[mat]
+                * al_ray
                 * lem
                 * (cos_l * geom * ns)[:, None]
             )
@@ -425,10 +530,10 @@ def trace_radiance(
             )
 
         weight = jnp.where(
-            live_hit[:, None], weight * al[mat] * atten[:, None], weight
+            live_hit[:, None], weight * al_ray * atten[:, None], weight
         )
 
-        new_d = _bounce_dir(d, n_o, sc[mat], uni[:, 0:3])
+        new_d = _bounce_dir(d, n_o, sc_ray, uni[:, 0:3])
         o = jnp.where(live_hit[:, None], hit_p, o)
         d = jnp.where(live_hit[:, None], new_d, d)
         alive = live_hit

@@ -218,3 +218,82 @@ def test_rays_cast_counter():
     )
     # hitting rays survive into later bounces -> more casts than sky-only
     assert float(stats2["rays_cast"]) > 64.0
+
+
+def test_fused_shaded_render_matches_standard():
+    # the fused gather-free path must reproduce the standard (gather-based)
+    # image to fp tolerance on a mixed scene
+    from atray_tpu.accel.shaded import build_shaded_accel
+    from atray_tpu.accel.wide import make_accel
+    from atray_tpu.scene.data import Planes, Spheres
+
+    mats = make_materials([
+        ((0.35, 0.45, 0.65), (0.0, 0.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0), (0.8, 0.5, 0.3), 0.2),
+        ((2.0, 1.5, 1.0), (0.0, 0.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0), (0.5, 0.6, 0.7), 0.0),
+    ])
+    mesh = translate(
+        procedural.uv_sphere(rows=12, cols=12, material=1, smooth=True),
+        (0, 0, -4),
+    )
+    spheres = Spheres(
+        centers=np.asarray([[1.5, 1.0, -3.5]], np.float32),
+        radii=np.asarray([0.5], np.float32),
+        material_id=np.asarray([2], np.int32),
+    )
+    planes = Planes(
+        normals=np.asarray([[0.0, 1.0, 0.0]], np.float32),
+        offsets=np.asarray([-1.4], np.float32),
+        material_id=np.asarray([3], np.int32),
+    )
+    scene = build_scene([mesh], spheres=spheres, planes=planes, materials=mats)
+    cfg = KDTreeConfig(leaf_size=8)
+    std = make_accel(scene.mesh.vertices, scene.mesh.faces, cfg)
+    fused = build_shaded_accel(scene, cfg)
+    cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    s = RenderSettings(resolution=(24, 24), samples_per_pixel=2, bounce_limit=3)
+    key = jax.random.PRNGKey(5)
+    f_std = render(scene, cam, s, key, accel=std)
+    f_fused = render(scene, cam, s, key, accel=fused)
+    np.testing.assert_allclose(
+        np.asarray(f_fused), np.asarray(f_std), atol=5e-5
+    )
+
+
+def test_fused_shaded_nee_matches_standard():
+    import dataclasses
+
+    from atray_tpu.accel.shaded import build_shaded_accel
+    from atray_tpu.accel.wide import make_accel
+    from atray_tpu.scene.data import Planes, Spheres
+
+    mats = make_materials([
+        ((0.05, 0.05, 0.08), (0.0, 0.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0), (0.7, 0.7, 0.7), 0.0),
+        ((20.0, 18.0, 15.0), (0.0, 0.0, 0.0), 0.0),
+    ])
+    mesh = translate(procedural.cube(material=1), (0, 0, -4))
+    spheres = Spheres(
+        centers=np.asarray([[0.0, 2.5, -4.0]], np.float32),
+        radii=np.asarray([0.3], np.float32),
+        material_id=np.asarray([2], np.int32),
+    )
+    planes = Planes(
+        normals=np.asarray([[0.0, 1.0, 0.0]], np.float32),
+        offsets=np.asarray([-1.2], np.float32),
+        material_id=np.asarray([1], np.int32),
+    )
+    scene = build_scene([mesh], spheres=spheres, planes=planes, materials=mats)
+    cfg = KDTreeConfig(leaf_size=8)
+    std = make_accel(scene.mesh.vertices, scene.mesh.faces, cfg)
+    fused = build_shaded_accel(scene, cfg)
+    cam = look_at_camera((0, 0.6, 0.8), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    s = RenderSettings(resolution=(20, 20), samples_per_pixel=1,
+                       bounce_limit=3, nee=True)
+    key = jax.random.PRNGKey(2)
+    f_std = render(scene, cam, s, key, accel=std)
+    f_fused = render(scene, cam, s, key, accel=fused)
+    np.testing.assert_allclose(
+        np.asarray(f_fused), np.asarray(f_std), atol=5e-5
+    )
