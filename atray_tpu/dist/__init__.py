@@ -1,0 +1,6 @@
+from atray_tpu.dist.mesh import (
+    make_device_mesh,
+    render_sharded,
+    trace_sharded,
+)
+from atray_tpu.dist.train import make_train_step
