@@ -54,6 +54,10 @@ class WideBVH:
     # coherent) or "exact2" (two-block interleaved, ~25% faster on
     # incoherent bounce rays). The renderer picks per bounce phase.
     variant: str = dataclasses.field(default="exact", metadata=dict(static=True))
+    # refit support (optional): original face index per leaf slot and the
+    # vertex array the tables were built from — see ``refit_wide``.
+    slot_face: jnp.ndarray = None    # i32 (slots,); -1 = pad slot
+    build_vertices: jnp.ndarray = None  # f32 (V, 3)
 
     @property
     def rows_per_leaf(self) -> int:
@@ -177,6 +181,8 @@ def build_wide_bvh(bvh: BVH, tris_packed: jnp.ndarray) -> WideBVH:
 
 def wide_from_mesh(vertices, faces, config=None) -> WideBVH:
     """Convenience: binary SAH build -> pack -> 8-wide collapse."""
+    import numpy as _np
+
     from atray_tpu.accel.bvh import build_bvh
     from atray_tpu.config import KDTreeConfig
     from atray_tpu.kernels.traverse_pallas import pack_bvh
@@ -184,7 +190,83 @@ def wide_from_mesh(vertices, faces, config=None) -> WideBVH:
     cfg = config or KDTreeConfig(leaf_size=8)
     bvh = build_bvh(vertices, faces, cfg)
     pack = pack_bvh(bvh)
-    return build_wide_bvh(bvh, pack.tris)
+    wide = build_wide_bvh(bvh, pack.tris)
+    return dataclasses.replace(
+        wide,
+        slot_face=jnp.asarray(_np.asarray(bvh.tri_orig_id, _np.int32)),
+        build_vertices=jnp.asarray(_np.asarray(vertices, _np.float32)),
+    )
+
+
+def refit_wide(accel: WideBVH, vertices, faces) -> WideBVH:
+    """Device-side refit: recompute leaf triangle records from CURRENT
+    vertices and conservatively expand every child box by the maximum
+    vertex displacement since build.
+
+    The TPU-idiomatic answer to moving geometry inside a jitted
+    optimization step (SURVEY.md §7 arch item 6): topology (clinks, slot
+    layout, static shapes) is frozen at build; only the *data* is
+    recomputed, entirely in XLA — no host rebuild, no recompilation. The
+    global-delta box expansion keeps containment exact for any
+    displacement at the cost of culling efficiency proportional to the
+    largest move, which is the right trade for refinement loops (steps are
+    small). Rebuild from scratch when the geometry changes wholesale.
+
+    All outputs are wrapped in stop_gradient: the tables drive the
+    DISCRETE nearest-hit decision only; the differentiable recompute
+    (render.wavefront.resolve_hit) reads the live scene.
+    """
+    import numpy as _np
+
+    if accel.slot_face is None or accel.build_vertices is None:
+        raise ValueError("accel was built without refit support")
+    v = jnp.asarray(vertices)
+    f = jnp.asarray(faces)
+    fid = accel.slot_face
+    slots = fid.shape[0]
+    ls = accel.leaf_size
+    rows_per_leaf = accel.rows_per_leaf
+    nf = f.shape[0]
+
+    fcl = jnp.clip(fid, 0, max(nf - 1, 0))
+    p0 = v[f[fcl, 0]]
+    e1 = v[f[fcl, 1]] - p0
+    e2 = v[f[fcl, 2]] - p0
+    ok = (fid >= 0)[:, None]
+
+    # The scatter runs ENTIRELY in the int32 bit domain: column 9 holds
+    # face ids bitcast to f32 (denormals!) and any float-typed transport of
+    # them can be flushed to zero (FTZ) by the compiled program — observed
+    # under jax.grad, where the autodiff-built XLA program zeroed every id
+    # while the forward-only program preserved them. Bits through int ops
+    # are immune.
+    flat_i = jax.lax.bitcast_convert_type(
+        accel.tris, jnp.int32
+    ).reshape(-1, 16)
+    s = _np.arange(slots)
+    rec = (s // ls) * (rows_per_leaf * 8) + (s % ls)   # static indices
+    orig_rows_i = flat_i[rec]
+    new9 = jnp.where(ok, jnp.concatenate([p0, e1, e2], axis=1),
+                     jax.lax.bitcast_convert_type(
+                         orig_rows_i[:, 0:9], jnp.float32))
+    new9_i = jax.lax.bitcast_convert_type(new9, jnp.int32)
+    flat_i = flat_i.at[rec].set(
+        jnp.concatenate([new9_i, orig_rows_i[:, 9:]], axis=1)
+    )
+    tris = jax.lax.bitcast_convert_type(
+        flat_i.reshape(-1, accel.tris.shape[-1]), jnp.float32
+    ).reshape(accel.tris.shape)
+
+    delta = jnp.max(jnp.abs(v - accel.build_vertices))
+    cb = accel.cboxes
+    cboxes = jnp.concatenate(
+        [cb[:, 0:24] - delta, cb[:, 24:48] + delta, cb[:, 48:]], axis=1
+    )
+    return dataclasses.replace(
+        accel,
+        tris=jax.lax.stop_gradient(tris),
+        cboxes=jax.lax.stop_gradient(cboxes),
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -201,7 +283,11 @@ class HybridAccel:
 
 
 def make_accel(vertices, faces, config=None) -> WideBVH:
-    """Build the default accelerator: the 8-wide BVH driven by the
-    persistent exact kernel (kernels/wide_exact.py), the best measured
-    choice for both coherent primaries and incoherent bounces."""
+    """Build the geometry-only accelerator: the 8-wide BVH driven by the
+    persistent exact kernel (kernels/wide_exact.py).
+
+    This is the right accel for parameter-OPTIMIZATION loops (its leaf rows
+    hold only geometry; shading reads live scene params via the gather
+    path). For forward rendering, prefer ``accel.build_shaded_accel`` —
+    the fused traversal+shading kernel with zero per-ray gathers."""
     return wide_from_mesh(vertices, faces, config)

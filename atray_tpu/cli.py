@@ -24,6 +24,7 @@ Scene TOML (see examples/cornell.toml):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 import tomllib
@@ -32,6 +33,14 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache (cold Mosaic kernel compiles take minutes;
+# warm runs reuse them across processes).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("ATRAY_JAX_CACHE", os.path.expanduser("~/.cache/jax_atray")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def load_scene_file(path: str):
@@ -45,21 +54,27 @@ def load_scene_file(path: str):
     with open(path, "rb") as fh:
         doc = tomllib.load(fh)
 
-    rcfg = doc.get("render", {})
-    settings = RenderSettings(
-        resolution=tuple(rcfg.get("resolution", (1280, 720))),
-        samples_per_pixel=int(rcfg.get("samples_per_pixel", 5)),
-        bounce_limit=int(rcfg.get("bounce_limit", 5)),
-        anti_aliasing=bool(rcfg.get("anti_aliasing", False)),
-        sort_bounces=bool(rcfg.get("sort_bounces", False)),
-        ray_chunk=int(rcfg.get("ray_chunk", 0)),
-    )
-    acfg = doc.get("accel", {})
-    accel_cfg = KDTreeConfig(
-        leaf_size=int(acfg.get("leaf_size", 16)),
-        sah_bins=int(acfg.get("sah_bins", 16)),
-        max_depth=int(acfg.get("max_depth", 40)),
-    )
+    import dataclasses as _dc
+
+    rcfg = dict(doc.get("render", {}))
+    known = {f.name for f in _dc.fields(RenderSettings)}
+    unknown = set(rcfg) - known
+    if unknown:
+        raise ValueError(
+            f"unknown [render] keys {sorted(unknown)}; valid: {sorted(known)}"
+        )
+    if "resolution" in rcfg:
+        rcfg["resolution"] = tuple(rcfg["resolution"])
+    settings = RenderSettings(**rcfg)
+
+    acfg = dict(doc.get("accel", {}))
+    aknown = {f.name for f in _dc.fields(KDTreeConfig)}
+    aunknown = set(acfg) - aknown
+    if aunknown:
+        raise ValueError(
+            f"unknown [accel] keys {sorted(aunknown)}; valid: {sorted(aknown)}"
+        )
+    accel_cfg = KDTreeConfig(**acfg)
 
     mat_rows = []
     mat_index: Dict[str, int] = {}
@@ -155,7 +170,7 @@ def load_scene_file(path: str):
 def cmd_render(args) -> int:
     import dataclasses
 
-    from atray_tpu.accel.wide import make_accel
+    from atray_tpu.accel.shaded import build_shaded_accel
     from atray_tpu.render.film import save_png
     from atray_tpu.render.progressive import render_progressive
     from atray_tpu.render.wavefront import render
@@ -168,6 +183,16 @@ def cmd_render(args) -> int:
         if args.res:
             w, h = (int(x) for x in args.res.split("x"))
             settings = dataclasses.replace(settings, resolution=(w, h))
+        if args.bounces:
+            settings = dataclasses.replace(settings, bounce_limit=args.bounces)
+        if args.nee:
+            settings = dataclasses.replace(settings, nee=True)
+        if args.sort_bounces:
+            settings = dataclasses.replace(settings, sort_bounces=True)
+        if args.chunk is not None:
+            settings = dataclasses.replace(settings, ray_chunk=args.chunk)
+        if args.no_accel:
+            settings = dataclasses.replace(settings, use_accel=False)
     print(
         f"scene: {scene.mesh.num_faces} tris, {scene.spheres.count} spheres, "
         f"{scene.planes.count} planes; {settings.width}x{settings.height} "
@@ -175,31 +200,55 @@ def cmd_render(args) -> int:
         file=sys.stderr,
     )
     with Phase("accel_build"):
+        # forward rendering uses the fused gather-free shaded accel
+        # (kernels/wide_shade.py) — the fastest production path
         accel = (
-            make_accel(scene.mesh.vertices, scene.mesh.faces, accel_cfg)
+            build_shaded_accel(scene, accel_cfg)
             if scene.mesh.num_faces > 0 and settings.use_accel
             else None
         )
 
+    dmesh = None
+    if args.mesh:
+        from atray_tpu.dist.mesh import make_device_mesh
+
+        n_dev = None if args.mesh < 0 else args.mesh
+        dmesh = make_device_mesh(num_devices=n_dev)
+        print(f"device mesh: {dmesh.devices.size} device(s)", file=sys.stderr)
+
     if args.progressive:
+        # live progress: in-flight preview PNG + stderr line per batch —
+        # the headless analog of the reference's window blit + title-bar
+        # tile counter (app.cpp:160-186)
+        preview = args.preview or (args.output + ".preview.png")
+
         def on_batch(state):
             print(
                 f"  batch {state.batches_done}: {state.spp_total} spp total",
                 file=sys.stderr,
             )
+            save_png(preview, state.film(), srgb=args.srgb)
 
+        rfn = None
+        if dmesh is not None:
+            rfn = lambda sc, cam, st, key, acc: render(  # noqa: E731
+                sc, cam, st, key, accel=acc, mesh=dmesh
+            )
         with Phase("render", block=True):
             state = render_progressive(
                 scene, camera, settings, total_spp=args.progressive,
                 accel=accel, seed=args.seed,
                 checkpoint_path=args.checkpoint, on_batch=on_batch,
+                render_fn=rfn,
             )
         film = state.film()
     else:
         key = jax.random.PRNGKey(args.seed)
         with Phase("compile"):
             jrender = jax.jit(
-                lambda k: render(scene, camera, settings, k, accel=accel)
+                lambda k: render(
+                    scene, camera, settings, k, accel=accel, mesh=dmesh
+                )
             )
             jrender.lower(key).compile()
         with Phase("render", block=True):
@@ -242,10 +291,23 @@ def main(argv=None) -> int:
     pr.add_argument("--res", default="")
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--srgb", action="store_true")
+    pr.add_argument("--bounces", type=int, default=0)
+    pr.add_argument("--nee", action="store_true",
+                    help="next-event estimation (explicit shadow rays)")
+    pr.add_argument("--sort-bounces", action="store_true",
+                    help="ray-queue compaction between bounces")
+    pr.add_argument("--chunk", type=int, default=None,
+                    help="trace rays in chunks of this many (device memory bound)")
+    pr.add_argument("--no-accel", action="store_true",
+                    help="brute-force intersect (the reference's #else oracle path)")
+    pr.add_argument("--mesh", type=int, default=0,
+                    help="shard rays over N devices (-1 = all visible)")
     pr.add_argument("--progressive", type=int, default=0,
                     help="total spp rendered in batches of render.samples_per_pixel")
     pr.add_argument("--checkpoint", default=None,
                     help="npz checkpoint path for progressive resume")
+    pr.add_argument("--preview", default=None,
+                    help="in-flight preview PNG path (progressive mode)")
     pr.set_defaults(fn=cmd_render)
 
     pi = sub.add_parser("info", help="show devices / runtime info")

@@ -143,7 +143,10 @@ def sphere_hits(
     c = dot(oc, oc) - (radii * radii)[None, :]            # (R, S)
     disc = b * b - c
     ok = disc > 0.0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # where-guard on BOTH sides of the sqrt: sqrt'(0) = inf would turn the
+    # zero cotangent of miss lanes into NaN when orig/dirn carry tangents
+    # (bounce>=2 rays depend on scene parameters)
+    sq = jnp.where(ok, jnp.sqrt(jnp.where(ok, disc, 1.0)), 0.0)
     t0 = -b - sq
     t1 = -b + sq
     t = jnp.where(t0 > T_MIN, t0, t1)

@@ -13,10 +13,11 @@ Collectives ride ICI: film assembly is the out-sharding (an implicit
 all_gather only if the host asks for the full film), and gradient reduction
 in dist/train.py is an explicit ``psum`` over the mesh axis.
 
-PRNG discipline (SURVEY.md §7 hard part #5): every shard folds
-``axis_index`` into the key, so results are deterministic for a fixed mesh
-shape — never per-thread wall-clock seeding like the reference's
-``rdtsc * tid`` (pl_utils_win32.cpp:10-15).
+PRNG discipline (SURVEY.md §7 hard part #5): every random number is a pure
+function of (key, GLOBAL ray id, bounce) — see ``wavefront.ray_uniforms`` —
+so the sharded result is bit-identical to the single-device result for ANY
+mesh shape (layout-invariant), never per-thread wall-clock seeding like the
+reference's ``rdtsc * tid`` (pl_utils_win32.cpp:10-15).
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from atray_tpu.config import RenderSettings
 from atray_tpu.core.camera import Camera, camera_rays
-from atray_tpu.render.wavefront import trace_radiance
+from atray_tpu.render.wavefront import render as _render, trace_radiance
 
 
 def make_device_mesh(
@@ -57,8 +58,9 @@ def trace_sharded(
     """Path-trace with rays sharded over the mesh; scene/BVH replicated.
 
     The number of rays must divide the mesh size (callers pad; the renderer
-    below guarantees it). Each shard uses ``fold_in(key, axis_index)`` so
-    sample streams are independent across shards yet reproducible.
+    below guarantees it). Random streams are keyed by the GLOBAL ray id
+    (``axis_index * shard_len + lane``), so the result is bit-identical to
+    the unsharded ``trace_radiance`` on the same rays — for any mesh shape.
     """
 
     @partial(
@@ -69,9 +71,10 @@ def trace_sharded(
         check_vma=False,
     )
     def _run(scene_, o, d, k):
-        k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
+        shard = jax.lax.axis_index(axis_name)
+        gids = shard * o.shape[0] + jnp.arange(o.shape[0], dtype=jnp.int32)
         return trace_radiance(
-            scene_, o, d, bounce_limit, key=k, accel=accel
+            scene_, o, d, bounce_limit, key=k, accel=accel, ray_ids=gids
         )
 
     return _run(scene, orig, dirn, key)
@@ -88,30 +91,11 @@ def render_sharded(
 ) -> jnp.ndarray:
     """Full sharded forward render -> film (H, W, 3) on the host layout.
 
-    Ray count spp*H*W is padded up to a multiple of the mesh size; pad rays
-    trace harmlessly (dir = +z from origin against the real scene, their
-    radiance is dropped before the film average).
+    Thin wrapper over the ONE unified renderer: ``wavefront.render`` with a
+    mesh runs the full feature set (NEE, compaction, chunking, tile order)
+    under shard_map and is bit-identical to the single-device render.
     """
-    w, h = settings.resolution
-    spp = settings.samples_per_pixel
-    n = spp * h * w
-    aa_key, bounce_key = jax.random.split(key)
-    orig, dirn = camera_rays(
-        camera, w, h, spp,
-        key=aa_key if settings.anti_aliasing else None,
-        anti_aliasing=settings.anti_aliasing,
+    return _render(
+        scene, camera, settings, key, accel=accel, mesh=mesh,
+        axis_name=axis_name,
     )
-    n_dev = mesh.devices.size
-    pad = (-n) % n_dev
-    if pad:
-        orig = jnp.concatenate([orig, jnp.zeros((pad, 3), orig.dtype)])
-        dirn = jnp.concatenate(
-            [dirn, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dirn.dtype), (pad, 1))]
-        )
-    color = trace_sharded(
-        scene, orig, dirn, settings.bounce_limit, bounce_key, mesh,
-        accel=accel, axis_name=axis_name,
-    )
-    color = color[:n]
-    film = color.reshape(spp, h, w, 3).mean(axis=0)
-    return jnp.clip(film, 0.0, 1.0)

@@ -28,12 +28,18 @@ def make_loss_and_grad(
     mesh: Mesh,
     accel=None,
     axis_name: str = "rays",
+    refit: bool = False,
 ) -> Callable:
     """Returns f(params, orig, dirn, target, key) -> (loss, grads).
 
     orig/dirn/target are flat (N, 3) arrays sharded over ``axis_name``;
     params replicated. Loss = mean squared pixel error over all N rays;
     grads arrive fully psum-reduced (identical on every shard).
+
+    ``refit=True`` (vertex optimization): the accel's leaf records and
+    child boxes are recomputed from the CURRENT vertices on-device every
+    evaluation (accel.refit_wide), so the traversal never goes stale as
+    geometry moves — no host rebuild, no recompile.
     """
 
     @partial(
@@ -44,13 +50,24 @@ def make_loss_and_grad(
         check_vma=False,
     )
     def _loss_grad(params: SceneParams, orig, dirn, target, key):
-        k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        shard = jax.lax.axis_index(axis_name)
+        gids = shard * orig.shape[0] + jnp.arange(
+            orig.shape[0], dtype=jnp.int32
+        )
         n_total = orig.shape[0] * jax.lax.axis_size(axis_name)
 
         def local_loss(p):
             scene = scene_template.with_params(p)
+            accel_ = accel
+            if refit and accel is not None:
+                from atray_tpu.accel.wide import refit_wide
+
+                accel_ = refit_wide(
+                    accel, scene.mesh.vertices, scene.mesh.faces
+                )
             color = trace_radiance(
-                scene, orig, dirn, bounce_limit, key=k, accel=accel
+                scene, orig, dirn, bounce_limit, key=key, accel=accel_,
+                ray_ids=gids,
             )
             return jnp.sum((color - target) ** 2) / (3.0 * n_total)
 
@@ -69,12 +86,14 @@ def make_train_step(
     mesh: Mesh,
     accel=None,
     axis_name: str = "rays",
+    refit: bool = False,
 ) -> Callable:
     """Returns step(params, opt_state, orig, dirn, target, key) ->
     (params, opt_state, loss). Jit-compatible; rays/target sharded,
     params/opt_state replicated, gradient psum inside."""
     loss_grad = make_loss_and_grad(
-        scene_template, bounce_limit, mesh, accel=accel, axis_name=axis_name
+        scene_template, bounce_limit, mesh, accel=accel, axis_name=axis_name,
+        refit=refit,
     )
 
     def step(params, opt_state, orig, dirn, target, key):

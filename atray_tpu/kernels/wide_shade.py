@@ -12,8 +12,9 @@ em_b, al_r, al_g, al_b, scatter]. The renderer's fast path consumes these
 directly: the forward pass performs ZERO per-ray gathers (XLA row gathers
 measured ~250 M elem/s on v5e were the frame bottleneck).
 
-Gradients: wavefront.fused_hit_shade wraps this in a custom VJP whose
-backward replays the differentiable resolve from the face id.
+Gradients: ``wavefront.make_fused_hit_shade`` wraps this in a
+``jax.custom_vjp`` whose backward replays the differentiable resolve from
+the face id (path replay) — that wrapper is the production entry point.
 """
 
 from __future__ import annotations

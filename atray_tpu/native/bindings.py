@@ -8,6 +8,7 @@ unavailable, so the native path is a pure accelerator, never a dependency.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import Optional
@@ -17,8 +18,27 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "atray_native.cpp")
 _LIB = os.path.join(_DIR, "libatray_native.so")
+_STAMP = _LIB + ".srchash"
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()
+
+
+def _stale() -> bool:
+    """Rebuild keyed on a source HASH, not mtimes: git checkouts set both
+    mtimes to checkout time, so a stale committed binary could silently
+    shadow newer C++ under mtime comparison (ADVICE r1)."""
+    if not os.path.exists(_LIB):
+        return True
+    try:
+        with open(_STAMP) as fh:
+            return fh.read().strip() != _src_hash()
+    except OSError:
+        return True
 
 
 class _BvhOut(ctypes.Structure):
@@ -60,14 +80,14 @@ def ensure_built(force: bool = False) -> bool:
         return _lib is not None
     _tried = True
     try:
-        if force or (not os.path.exists(_LIB)) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-        ):
+        if force or _stale():
             subprocess.run(
                 ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
                  "-o", _LIB],
                 check=True, capture_output=True, timeout=120,
             )
+            with open(_STAMP, "w") as fh:
+                fh.write(_src_hash())
         lib = ctypes.CDLL(_LIB)
         lib.atray_build_bvh.restype = ctypes.c_int
         lib.atray_parse_obj.restype = ctypes.c_int

@@ -4,18 +4,28 @@ Re-design of the reference's per-pixel recursive/iterative ``cast_ray``
 (renderer.cpp:213-262) and tile scheduler (renderer.cpp:264-471): instead of
 8 CPU threads pulling tiles off an atomic queue, ALL rays advance together
 through a ``lax.scan`` over bounces — intersect, resolve, shade, respawn —
-with masking for terminated paths. Tiling/sharding happens a level up
-(atray_tpu/dist) by slicing the flat ray axis over the device mesh.
+with masking for terminated paths. Tiling/sharding happens a level up by
+slicing the flat ray axis over the device mesh; ``render`` drives both the
+single-chip and the shard_map path through the SAME trace function.
+
+PRNG discipline (SURVEY.md §7 hard part 5): every random number is a pure
+function of (key, global ray id, bounce) — never of the mesh layout, the
+chunk split, or any per-thread state (the reference seeds per-thread PCG
+streams from ``rdtsc * tid``, pl_utils_win32.cpp:10-15 — the anti-pattern).
+Sharded, chunked, and compacted runs are bit-identical to the single-device
+whole-frame run.
 
 Differentiation seam (the architecture's key decision): the *discrete* part
-of intersection (which primitive is nearest) is isolated in
-``nearest_hit_ids`` and treated as non-differentiable — it may be brute
-force, BVH traversal, or a Pallas kernel. The *continuous* part
-(``resolve_hit``: t, barycentrics, normal recomputed from the chosen
-primitive id) is differentiable w.r.t. vertices/normals, and shading is
-differentiable w.r.t. materials. Gradients therefore follow the
-detached-visibility convention (no derivative through silhouette changes),
-which the CPU oracle (tests/oracle.py) mirrors exactly.
+of intersection (which primitive is nearest) is non-differentiable — it may
+be brute force, BVH traversal, or a Pallas kernel. The *continuous* part
+(t, barycentrics, normal, material constants recomputed from the chosen
+primitive id) is differentiable w.r.t. vertices/normals/materials. The
+production path fuses traversal AND shading-data lookup into one Pallas
+kernel (kernels/wide_shade.py) wrapped in ``jax.custom_vjp``
+(``fused_hit_shade``): forward runs the gather-free kernel, backward replays
+the continuous recompute from the returned face id (path replay). Gradients
+follow the detached-visibility convention (no derivative through silhouette
+changes), which the CPU oracle (tests/oracle.py) mirrors exactly.
 """
 
 from __future__ import annotations
@@ -89,6 +99,7 @@ def nearest_hit_ids(
     if scene.mesh.num_faces > 0:
         if accel is not None:
             from atray_tpu.accel.bvh import BVH
+            from atray_tpu.accel.shaded import ShadedWideBVH
             from atray_tpu.accel.traverse import bvh_first_hit
             from atray_tpu.accel.wide import WideBVH
             from atray_tpu.kernels.traverse_pallas import TreePack
@@ -103,6 +114,13 @@ def nearest_hit_ids(
                 t, _, _, tid = ppacket_first_hit(
                     accel, orig, dirn, interpret=_pallas_interpret()
                 )
+            elif isinstance(accel, ShadedWideBVH):
+                from atray_tpu.kernels.wide_shade import wide_shade_first_hit
+
+                fo = wide_shade_first_hit(
+                    accel, orig, dirn, interpret=_pallas_interpret()
+                )
+                t, tid = fo["t"], fo["id"]
             elif isinstance(accel, WideBVH):
                 # persistent exact wide kernel; the interleaved variant
                 # trades a little coherent speed for faster bounce rays
@@ -235,8 +253,11 @@ def resolve_hit(
         oc = orig - c
         b = dot(oc, dirn)
         csq = dot(oc, oc) - rad * rad
-        disc = jnp.maximum(b * b - csq, 0.0)
-        sq = jnp.sqrt(disc)
+        disc = b * b - csq
+        # sqrt guarded by where on BOTH sides: sqrt'(0) = inf would turn the
+        # zero cotangent of clamped (miss) lanes into NaN in reverse mode
+        pos = disc > 0.0
+        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
         t0 = -b - sq
         t1 = -b + sq
         ts = jnp.where(t0 > 1e-4, t0, t1)
@@ -257,7 +278,98 @@ def resolve_hit(
         mat = jnp.where(is_pln, scene.planes.material_id[pid], mat)
 
     hit = ids.prim_type != PRIM_NONE
+    # Demote lanes whose differentiable recompute missed (t still INF):
+    # kernel-vs-recompute epsilon disagreement on grazing hits, or an accel
+    # whose baked triangles are stale w.r.t. moved vertices (optimization
+    # loops). Keeping them "hit" would put hit_p at o + INF*d and the INF
+    # poisons reverse-mode gradients bounces later.
+    hit = hit & (t < 1.0e30)
     return t, normal, jnp.where(hit, mat, 0), hit
+
+
+def make_fused_hit_shade(accel, interpret: bool) -> Callable:
+    """Build the fused hit+shade primitive for a ShadedWideBVH: a
+    ``jax.custom_vjp`` whose FORWARD is the gather-free Pallas kernel
+    (kernels/wide_shade.py — traversal returns t, face id, interpolated
+    normal, and material constants in one pass) and whose BACKWARD replays
+    the continuous recompute from the saved face id, so gradients reach
+    vertices, vertex normals, and materials exactly (path replay; the
+    discrete choice of face is detached, matching ``nearest_hit_ids``).
+
+    Gradient caveat: the kernel reads leaf records BAKED from the scene at
+    accel-build time; the VJP is exact when the scene parameters equal the
+    baked ones (always true for a fresh accel — rendering, or the first
+    gradient at an optimization point). Parameter optimization loops should
+    use the unshaded WideBVH path (ids + differentiable resolve) or rebuild
+    the shaded accel per step.
+
+    Returns fused(scene, orig, dirn) ->
+        (t, normal, emission, albedo, scatter, face_id).
+    """
+    from atray_tpu.kernels.wide_shade import wide_shade_first_hit
+
+    @jax.custom_vjp
+    def fused(scene, o, d):
+        fo = wide_shade_first_hit(
+            accel,
+            jax.lax.stop_gradient(o),
+            jax.lax.stop_gradient(d),
+            interpret=interpret,
+        )
+        return (
+            fo["t"], fo["normal"], fo["emission"], fo["albedo"],
+            fo["scatter"], fo["id"],
+        )
+
+    def fwd(scene, o, d):
+        out = fused(scene, o, d)
+        return out, (scene, o, d, out[5])
+
+    def bwd(res, cts):
+        scene, o, d, fid = res
+        ct_t, ct_n, ct_em, ct_al, ct_sc, _ = cts
+        hit = fid >= 0
+        nf = scene.mesh.num_faces
+
+        def replay(scene_, o_, d_):
+            ft = build_face_table(scene_)
+            row = ft[jnp.clip(fid, 0, nf - 1)]
+            tt, u, vv, _ = moller_trumbore(
+                o_, d_, row[:, 0:3], row[:, 3:6], row[:, 6:9]
+            )
+            w0 = (1.0 - u - vv)[:, None]
+            n = normalize(
+                w0 * row[:, 9:12] + u[:, None] * row[:, 12:15]
+                + vv[:, None] * row[:, 15:18]
+            )
+            mat = jax.lax.stop_gradient(row[:, 18]).astype(jnp.int32)
+            em = scene_.materials.emission[mat]
+            al = scene_.materials.albedo[mat]
+            sc = scene_.materials.scatter[mat]
+            h1 = hit[:, None]
+            return (
+                jnp.where(hit, tt, 0.0),
+                jnp.where(h1, n, 0.0),
+                jnp.where(h1, em, 0.0),
+                jnp.where(h1, al, 0.0),
+                jnp.where(hit, sc, 0.0),
+            )
+
+        # Zero the miss-lane cotangents (their primal values are kernel
+        # sentinels — INF t, zeros — with no parameter dependence).
+        h1 = hit[:, None]
+        cot = (
+            jnp.where(hit, ct_t, 0.0),
+            jnp.where(h1, ct_n, 0.0),
+            jnp.where(h1, ct_em, 0.0),
+            jnp.where(h1, ct_al, 0.0),
+            jnp.where(hit, ct_sc, 0.0),
+        )
+        _, vjp_fn = jax.vjp(replay, scene, o, d)
+        return vjp_fn(cot)
+
+    fused.defvjp(fwd, bwd)
+    return fused
 
 
 def _bounce_dir(
@@ -280,19 +392,83 @@ def _bounce_dir(
     )
 
 
+def ray_uniforms(
+    key: jax.Array, ray_ids: jnp.ndarray, bounce, channels: int = 3
+) -> jnp.ndarray:
+    """(R, channels) uniforms in [-1, 1] — a pure function of
+    (key, global ray id, bounce).
+
+    One counter-based threefry stream per (ray, bounce): layout-invariant
+    under sharding, chunking, and compaction permutations (the id travels
+    with the ray). This replaces the reference's per-thread ``rdtsc * tid``
+    PCG seeding (pl_utils_win32.cpp:10-15) with something a distributed
+    run can reproduce bit-exactly on any mesh shape.
+    """
+    kb = jax.random.fold_in(key, bounce)
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(kb, ray_ids)
+    return jax.vmap(
+        lambda k: jax.random.uniform(k, (channels,), jnp.float32, -1.0, 1.0)
+    )(keys)
+
+
+def draw_bounce_uniforms(
+    key: jax.Array, bounces: int, num_rays: int, channels: int = 3
+) -> jnp.ndarray:
+    """(B, R, channels) uniforms in [-1, 1]: row b, ray i =
+    ``ray_uniforms(key, i, b)``. 3 channels for plain path tracing; 6 when
+    NEE is on.
+
+    Exported so the CPU oracle can consume the exact numbers the device
+    path uses (see ``ray_uniforms`` for the stream discipline).
+    """
+    ids = jnp.arange(num_rays, dtype=jnp.int32)
+    return jnp.stack(
+        [ray_uniforms(key, ids, b, channels) for b in range(bounces)]
+    )
+
+
+def _split_accel(accel):
+    """(primary_accel, bounce_accel, needs_peel) — static kernel dispatch.
+
+    A HybridAccel splits the accelerator by coherence: the primary bounce
+    (coherent film tiles) uses the wide/persistent kernel, later bounces
+    (scattered directions) the exact-culling packet kernel. A plain
+    WideBVH("exact") pairs with its interleaved twin for bounces. The
+    ShadedWideBVH fused kernel serves both phases (one Mosaic program).
+    """
+    from atray_tpu.accel.wide import HybridAccel, WideBVH
+
+    if isinstance(accel, HybridAccel):
+        return accel.wide, accel.pack, True
+    if isinstance(accel, WideBVH) and accel.variant == "exact":
+        return accel, dataclasses.replace(accel, variant="exact2"), True
+    return accel, accel, False
+
+
 def trace_radiance(
     scene: Scene,
     orig: jnp.ndarray,         # (R, 3)
     dirn: jnp.ndarray,         # (R, 3) unit
     bounce_limit: int,
     key: Optional[jax.Array] = None,
-    uniforms: Optional[jnp.ndarray] = None,   # (B, R, 3) in [-1, 1]
+    uniforms: Optional[jnp.ndarray] = None,   # (B, R, 3|6) in [-1, 1]
     accel=None,
     sort_rays: bool = False,
     nee: bool = False,
     return_stats: bool = False,
+    ray_ids: Optional[jnp.ndarray] = None,    # (R,) global ids for PRNG
+    remat: bool = True,
 ):
     """Path-trace each ray to its radiance (R, 3).
+
+    The bounce loop is a real ``lax.scan`` (reference hot loop 3,
+    renderer.cpp:222-259): ONE traced/compiled bounce body regardless of
+    ``bounce_limit``. When the primary bounce wants a different kernel than
+    later bounces (see ``_split_accel``), bounce 0 is peeled out of the
+    scan so that dispatch stays static. ``remat`` wraps the scanned body in
+    ``jax.checkpoint`` so reverse-mode differentiation stores only the
+    per-bounce ray state (O(B·R)) and replays the traversal/shading inside
+    each bounce — the path-replay backward of SURVEY.md §7.
 
     ``nee=True`` adds next-event estimation: at every live hit one sphere
     light is picked uniformly, a uniform point on it is sampled, and a
@@ -301,12 +477,11 @@ def trace_radiance(
     camera bounce (no double counting). Needs 6 uniform channels per
     bounce (3 jitter + light pick + 2 sphere-point).
 
-
-    The bounce loop is a ``lax.scan`` (reference hot loop 3,
-    renderer.cpp:222-259). Stochastic bounce jitter comes either from
-    ``uniforms`` (explicit, for oracle comparison) or is drawn per bounce
-    from ``fold_in(key, bounce)`` — both paths produce identical numbers for
-    the same key (see ``draw_bounce_uniforms``).
+    Stochastic jitter comes either from ``uniforms`` (explicit, for oracle
+    comparison) or is drawn per bounce as ``ray_uniforms(key, ray_ids, b)``
+    — both produce identical numbers for the same key, and both are pure
+    functions of the GLOBAL ray id, so sharded/chunked/sorted runs match
+    the whole-frame run bit-exactly.
 
     Shading convention (shared with tests/oracle.py):
     - miss -> color += weight * emission[material 0], terminate;
@@ -317,6 +492,9 @@ def trace_radiance(
     r = orig.shape[0]
     if uniforms is None and key is None:
         raise ValueError("need key or uniforms for stochastic bounces")
+    if ray_ids is None:
+        ray_ids = jnp.arange(r, dtype=jnp.int32)
+    gid0 = ray_ids[0]  # local base: ids are a contiguous block pre-sort
 
     # scene leaves are host numpy by construction (see scene/data._f32);
     # promote them here so closed-over scenes become on-device constants
@@ -328,32 +506,22 @@ def trace_radiance(
     sc = scene.materials.scatter
     sky = em[0]
 
-    # A HybridAccel splits the accelerator by coherence: the primary bounce
-    # (coherent film tiles) uses the wide/persistent kernel, later bounces
-    # (scattered directions) use the exact-culling packet kernel. The first
-    # bounce is peeled out of the scan so this dispatch is static.
-    from atray_tpu.accel.wide import HybridAccel, WideBVH
+    primary_accel, bounce_accel, needs_peel = _split_accel(accel)
 
-    if isinstance(accel, HybridAccel):
-        primary_accel, bounce_accel = accel.wide, accel.pack
-    elif isinstance(accel, WideBVH) and accel.variant == "exact":
-        # same tables, different kernel: interleaved walk for the
-        # incoherent bounces (~25% faster), single-block for primaries
-        primary_accel = accel
-        bounce_accel = dataclasses.replace(accel, variant="exact2")
-    else:
-        primary_accel = bounce_accel = accel
-
-    # Per-bounce jitter: explicit ``uniforms`` ride in as scan xs (oracle
-    # path); otherwise drawn per bounce from fold_in(key, b) — bit-identical
-    # to draw_bounce_uniforms(key, ...) for the same key, without ever
-    # materializing the (B, R, 3) tensor (8 GB at 1080p/64spp/5 bounces).
     face_table = build_face_table(scene)
 
     nee_active = nee and scene.spheres.count > 0
     nchan = 6 if nee_active else 3
 
     from atray_tpu.accel.shaded import ShadedWideBVH
+
+    interpret = _pallas_interpret()
+    _fused_cache = {}
+
+    def _fused_for(accel_):
+        if id(accel_) not in _fused_cache:
+            _fused_cache[id(accel_)] = make_fused_hit_shade(accel_, interpret)
+        return _fused_cache[id(accel_)]
 
     def _onehot_rows(idx, table):
         """Gather-free row pickup for SMALL tables: one-hot (R, K) matmul
@@ -366,24 +534,17 @@ def trace_radiance(
         """(t, n, hit, em_ray, al_ray, sc_ray, aux) for the nearest hit.
 
         Standard path: discrete ids + differentiable resolve + material
-        gathers. Fused path (ShadedWideBVH): the traversal kernel already
-        returns normal and material constants — zero per-ray gathers;
-        sphere/plane lanes are patched in with one-hot matmuls.
-        ``aux`` carries (sphere_mask, sphere_id) for NEE occlusion tests.
+        gathers. Fused path (ShadedWideBVH): one custom-VJP kernel call
+        returns normal and material constants — zero per-ray gathers in
+        the forward; sphere/plane lanes are patched in with one-hot
+        matmuls. ``aux`` carries (sphere_mask, sphere_id) for NEE
+        occlusion tests.
         """
         if isinstance(accel_, ShadedWideBVH):
-            from atray_tpu.kernels.wide_shade import wide_shade_first_hit
-
-            fo = wide_shade_first_hit(
-                accel_, jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
-                interpret=_pallas_interpret(),
+            t, n, em_ray, al_ray, sc_ray, fid = _fused_for(accel_)(
+                scene, o, d
             )
-            t = fo["t"]
-            n = fo["normal"]
-            em_ray = fo["emission"]
-            al_ray = fo["albedo"]
-            sc_ray = fo["scatter"]
-            hit = fo["id"] >= 0
+            hit = fid >= 0
             sph_mask = jnp.zeros((r,), bool)
             sph_id = jnp.full((r,), -1, jnp.int32)
             if scene.spheres.count > 0:
@@ -391,7 +552,11 @@ def trace_radiance(
                     o, d, scene.spheres.centers, scene.spheres.radii
                 )
                 closer = ts < t
-                p = o + ts[:, None] * d
+                # miss lanes carry ts = INF; zero them before building the
+                # hit point or the INF reaches normalize's VJP as a NaN
+                # partial (NaN * zero-cotangent still poisons reverse mode)
+                ts_safe = jnp.where(ts < 1.0e30, ts, 0.0)
+                p = o + ts_safe[:, None] * d
                 c_rows = _onehot_rows(sid, scene.spheres.centers)
                 n_s = normalize(p - c_rows)
                 mat_s = _onehot_rows(
@@ -438,13 +603,15 @@ def trace_radiance(
 
     def _occlusion(o, d, accel_, dist, lid):
         """True where something other than the picked light blocks the
-        shadow ray before ``dist``."""
+        shadow ray before ``dist``. Purely discrete — all inputs detached
+        (visibility carries no gradient by convention)."""
+        o = jax.lax.stop_gradient(o)
+        d = jax.lax.stop_gradient(d)
+        dist = jax.lax.stop_gradient(dist)
         if isinstance(accel_, ShadedWideBVH):
             from atray_tpu.kernels.wide_shade import wide_shade_first_hit
 
-            t = wide_shade_first_hit(
-                accel_, o, d, interpret=_pallas_interpret()
-            )["t"]
+            t = wide_shade_first_hit(accel_, o, d, interpret=interpret)["t"]
             is_light = jnp.zeros_like(lid, dtype=bool)
             if scene.spheres.count > 0:
                 ts, sid = sphere_hits(
@@ -463,15 +630,40 @@ def trace_radiance(
         is_light = (sids.prim_type == PRIM_SPHERE) & (sids.prim_id == lid)
         return (sids.t < dist - 1.0e-3) & (~is_light)
 
-    def body_with(state, xs, accel_, first_bounce):
-        if uniforms is not None:
-            _, uni = xs
+    def sort_key(o, d, alive):
+        """Compaction key: dead rays last; live rays grouped by direction
+        octant then coarse spatial cell — restores packet coherence for
+        bounce rays (the wavefront analog of the reference's per-ray
+        early-break, SURVEY.md §5.7)."""
+        if scene.mesh.num_vertices > 0:
+            v = scene.mesh.vertices
+            lo = jnp.min(v, axis=0)
+            hi = jnp.max(v, axis=0)
+            q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+            cell = (q * 31.0).astype(jnp.int32)
         else:
-            b = xs
-            uni = jax.random.uniform(
-                jax.random.fold_in(key, b), (r, nchan), jnp.float32, -1.0, 1.0
-            )
-        o, d, weight, color, alive = state
+            cell = jnp.zeros(o.shape, jnp.int32)
+        octant = (
+            (d[:, 0] > 0).astype(jnp.int32)
+            + 2 * (d[:, 1] > 0).astype(jnp.int32)
+            + 4 * (d[:, 2] > 0).astype(jnp.int32)
+        )
+        key_ = (octant << 15) | (cell[:, 0] << 10) | (cell[:, 1] << 5) | cell[:, 2]
+        return jnp.where(alive, key_, jnp.int32(1) << 30)
+
+    def bounce_step(state, b, accel_):
+        """One wavefront bounce. ``b`` may be a static int (peeled primary)
+        or a traced scan index."""
+        o, d, weight, color, alive, gid, rc = state
+        if uniforms is not None:
+            uni = uniforms[b][gid - gid0]
+        else:
+            uni = ray_uniforms(key, gid, b, nchan)
+        # total rays actually cast = live paths entering the bounce (the
+        # reference's RenderTile.ray_casts counter, renderer.cpp:345,355,
+        # 465-468) — here a reduction, not an atomic.
+        rc = rc + jnp.sum(alive.astype(jnp.float32))
+
         t, n, hit, em_ray, al_ray, sc_ray, _aux = _hit_inputs(o, d, accel_)
 
         miss_now = alive & ~hit
@@ -486,8 +678,10 @@ def trace_radiance(
         # Emitters: with NEE their light arrives via shadow rays, so hit
         # emission is only added on the camera bounce (else every light
         # would be counted twice).
-        if (not nee_active) or first_bounce:
-            color = color + jnp.where(live_hit[:, None], weight * em_ray, 0.0)
+        em_add = weight * em_ray
+        if nee_active:
+            em_add = jnp.where(jnp.asarray(b) == 0, em_add, 0.0)
+        color = color + jnp.where(live_hit[:, None], em_add, 0.0)
 
         # t is INF on misses; zero it before use so the untaken where-branch
         # stays finite (INF * 0 -> NaN would poison reverse-mode grads).
@@ -537,87 +731,50 @@ def trace_radiance(
         o = jnp.where(live_hit[:, None], hit_p, o)
         d = jnp.where(live_hit[:, None], new_d, d)
         alive = live_hit
-        return (o, d, weight, color, alive), None
 
-    def sort_key(o, d, alive):
-        """Compaction key: dead rays last; live rays grouped by direction
-        octant then coarse spatial cell — restores packet coherence for
-        bounce rays (the wavefront analog of the reference's per-ray
-        early-break, SURVEY.md §5.7)."""
-        v = scene.mesh.vertices
-        lo = jnp.min(v, axis=0)
-        hi = jnp.max(v, axis=0)
-        q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
-        cell = (q * 31.0).astype(jnp.int32)
-        octant = (
-            (d[:, 0] > 0).astype(jnp.int32)
-            + 2 * (d[:, 1] > 0).astype(jnp.int32)
-            + 4 * (d[:, 2] > 0).astype(jnp.int32)
-        )
-        key = (octant << 15) | (cell[:, 0] << 10) | (cell[:, 1] << 5) | cell[:, 2]
-        return jnp.where(alive, key, jnp.int32(1) << 30)
+        if sort_rays:
+            perm = jnp.argsort(sort_key(o, d, alive))
+            # park dead rays far outside the scene so all-dead packet
+            # blocks reject at the BVH root in one step
+            o = jnp.where(alive[:, None], o, 1.0e7)
+            d = jnp.where(alive[:, None], d, jnp.asarray([0.0, 0.0, 1.0]))
+            o, d, weight, color, alive, gid = (
+                o[perm], d[perm], weight[perm], color[perm], alive[perm],
+                gid[perm],
+            )
+        return (o, d, weight, color, alive, gid, rc)
 
-    ridx = jnp.arange(r)
     state = (
         orig,
         dirn,
         jnp.ones((r, 3)),
         jnp.zeros((r, 3)),
         jnp.ones((r,), bool),
+        ray_ids,
+        jnp.float32(0.0),
     )
 
-    # total rays actually cast = sum over bounces of live paths entering the
-    # bounce (the reference's RenderTile.ray_casts counter,
-    # renderer.cpp:345,355,465-468) — here a reduction, not an atomic.
-    rays_cast = jnp.int64(0) if False else jnp.float32(0.0)
+    def scan_body(carry, b):
+        return bounce_step(carry, b, bounce_accel), None
 
-    for b in range(bounce_limit):
-        accel_b = primary_accel if b == 0 else bounce_accel
-        if uniforms is not None:
-            xs = (jnp.int32(b), uniforms[b][ridx])
-        else:
-            xs = jnp.int32(b)
-        rays_cast = rays_cast + jnp.sum(state[4].astype(jnp.float32))
-        state, _ = body_with(state, xs, accel_b, first_bounce=(b == 0))
-        if sort_rays and b < bounce_limit - 1:
-            o, d, weight, color, alive = state
-            perm = jnp.argsort(sort_key(o, d, alive))
-            # park dead rays far outside the scene so all-dead packet
-            # blocks reject at the BVH root in one step
-            o = jnp.where(alive[:, None], o, 1.0e7)
-            d = jnp.where(alive[:, None], d, jnp.asarray([0.0, 0.0, 1.0]))
-            state = (
-                o[perm], d[perm], weight[perm], color[perm], alive[perm]
-            )
-            ridx = ridx[perm]
+    if remat:
+        scan_body = jax.checkpoint(scan_body)
 
-    color = state[3]
+    start = 0
+    if needs_peel and bounce_limit > 0:
+        state = bounce_step(state, 0, primary_accel)
+        start = 1
+    if bounce_limit > start:
+        state, _ = jax.lax.scan(
+            scan_body, state, jnp.arange(start, bounce_limit)
+        )
+
+    o, d, weight, color, alive, gid, rays_cast = state
     if sort_rays:
-        color = jnp.zeros_like(color).at[ridx].set(color)
+        color = jnp.zeros_like(color).at[gid - gid0].set(color)
     if return_stats:
         return color, {"rays_cast": rays_cast}
     return color
-
-
-def draw_bounce_uniforms(
-    key: jax.Array, bounces: int, num_rays: int, channels: int = 3
-) -> jnp.ndarray:
-    """(B, R, channels) uniforms in [-1, 1], bounce b from fold_in(key, b).
-    3 channels for plain path tracing; 6 when NEE is on.
-
-    Exported so the CPU oracle can consume the exact numbers the device
-    path uses (counter-based keys replace the reference's per-thread
-    rdtsc*tid seeding, pl_utils_win32.cpp:10-15 — bit-reproducible runs).
-    """
-    return jnp.stack(
-        [
-            jax.random.uniform(
-                jax.random.fold_in(key, b), (num_rays, channels),
-                jnp.float32, -1.0, 1.0,
-            )
-            for b in range(bounces)
-        ]
-    )
 
 
 def _largest_divisor_leq(n: int, cap: int) -> int:
@@ -655,6 +812,79 @@ def from_tile_order(x: jnp.ndarray, w: int, h: int, spp: int) -> jnp.ndarray:
     return t.transpose(2, 0, 3, 1, 4, 5).reshape(-1, c)
 
 
+def _trace_chunked(
+    scene, orig, dirn, ray_ids, settings: RenderSettings, key, accel,
+    uniforms=None,
+):
+    """Trace a flat ray set, optionally in fixed-size chunks via ``lax.map``
+    (ONE traced/compiled chunk body, sequential execution — bounds device
+    memory and per-dispatch runtime without re-tracing per chunk).
+    Returns (color (N, 3), rays_cast scalar).
+    """
+    n = orig.shape[0]
+    chunk = settings.ray_chunk
+    if not chunk or chunk >= n:
+        color, stats = trace_radiance(
+            scene, orig, dirn, settings.bounce_limit, key=key,
+            uniforms=uniforms, accel=accel, sort_rays=settings.sort_bounces,
+            nee=settings.nee, return_stats=True, ray_ids=ray_ids,
+        )
+        return color, stats["rays_cast"]
+
+    pad = (-n) % chunk
+    if pad:
+        # parked rays: far origin, +z, their radiance is sliced off
+        orig = jnp.concatenate([orig, jnp.full((pad, 3), 1.0e7, orig.dtype)])
+        dirn = jnp.concatenate(
+            [dirn, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dirn.dtype), (pad, 1))]
+        )
+        ray_ids = jnp.concatenate(
+            [ray_ids, ray_ids[-1] + 1 + jnp.arange(pad, dtype=ray_ids.dtype)]
+        )
+    nc = orig.shape[0] // chunk
+
+    if uniforms is not None:
+        if pad:
+            uniforms = jnp.concatenate(
+                [uniforms, jnp.zeros(
+                    (uniforms.shape[0], pad, uniforms.shape[2]), uniforms.dtype
+                )], axis=1,
+            )
+        un_c = uniforms.reshape(
+            uniforms.shape[0], nc, chunk, uniforms.shape[2]
+        ).transpose(1, 0, 2, 3)
+
+        def f(args):
+            o, d, ids, un = args
+            return trace_radiance(
+                scene, o, d, settings.bounce_limit, key=key, uniforms=un,
+                accel=accel, sort_rays=settings.sort_bounces,
+                nee=settings.nee, return_stats=True, ray_ids=ids,
+            )
+
+        xs = (
+            orig.reshape(nc, chunk, 3), dirn.reshape(nc, chunk, 3),
+            ray_ids.reshape(nc, chunk), un_c,
+        )
+    else:
+
+        def f(args):
+            o, d, ids = args
+            return trace_radiance(
+                scene, o, d, settings.bounce_limit, key=key,
+                accel=accel, sort_rays=settings.sort_bounces,
+                nee=settings.nee, return_stats=True, ray_ids=ids,
+            )
+
+        xs = (
+            orig.reshape(nc, chunk, 3), dirn.reshape(nc, chunk, 3),
+            ray_ids.reshape(nc, chunk),
+        )
+
+    color, stats = jax.lax.map(f, xs)
+    return color.reshape(-1, 3)[:n], jnp.sum(stats["rays_cast"])
+
+
 def render(
     scene: Scene,
     camera: Camera,
@@ -662,6 +892,9 @@ def render(
     key: jax.Array,
     accel=None,
     uniforms: Optional[jnp.ndarray] = None,
+    mesh=None,
+    axis_name: str = "rays",
+    return_stats: bool = False,
 ) -> jnp.ndarray:
     """Full forward render -> linear-RGB film (H, W, 3) in [0, 1].
 
@@ -670,11 +903,19 @@ def render(
     spp averaging, clamp. Output is linear (the reference's sRGB conversion
     is commented out, renderer.cpp:361-362; use film.linear_to_srgb).
 
+    ONE renderer for every execution shape: pass ``mesh`` (a 1-D
+    ``jax.sharding.Mesh``) and the SAME trace — NEE, compaction, chunking,
+    tile ordering included — runs under ``shard_map`` with the flat ray
+    axis sharded over the devices. Because every random number is keyed by
+    the global ray id (``ray_uniforms``), the sharded film is bit-identical
+    to the single-device film for any mesh shape.
+
     Rays are traced in film-tile order (coherent packets for the Pallas
     traversal) and restored to film order for the average. When
-    ``settings.ray_chunk`` > 0, rays are processed in chunks of that many
-    by a host loop — bounding device memory and single-dispatch runtime
-    (long single XLA programs can exceed RPC deadlines).
+    ``settings.ray_chunk`` > 0, rays go through a ``lax.map`` over
+    fixed-size chunks — bounding device memory and single-dispatch runtime
+    (long single XLA programs can exceed RPC deadlines) at ONE trace of
+    the chunk body.
     """
     w, h = settings.resolution
     spp = settings.samples_per_pixel
@@ -692,28 +933,65 @@ def render(
         )(uniforms)
 
     n = orig.shape[0]
-    chunk = settings.ray_chunk
-    if chunk and chunk < n:
-        pieces = []
-        nchunks = -(-n // chunk)
-        for i in range(nchunks):
-            sl = slice(i * chunk, min((i + 1) * chunk, n))
-            pieces.append(
-                trace_radiance(
-                    scene, orig[sl], dirn[sl], settings.bounce_limit,
-                    key=jax.random.fold_in(bounce_key, i),
-                    uniforms=None if uniforms is None else uniforms[:, sl],
-                    accel=accel, sort_rays=settings.sort_bounces,
-                    nee=settings.nee,
-                )
-            )
-        color = jnp.concatenate(pieces, axis=0)
-    else:
-        color = trace_radiance(
-            scene, orig, dirn, settings.bounce_limit,
-            key=bounce_key, uniforms=uniforms, accel=accel,
-            sort_rays=settings.sort_bounces, nee=settings.nee,
+    ray_ids = jnp.arange(n, dtype=jnp.int32)
+
+    if mesh is None:
+        color, rays_cast = _trace_chunked(
+            scene, orig, dirn, ray_ids, settings, bounce_key, accel,
+            uniforms=uniforms,
         )
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = int(mesh.devices.size)
+        pad = (-n) % n_dev
+        if pad:
+            orig = jnp.concatenate(
+                [orig, jnp.full((pad, 3), 1.0e7, orig.dtype)]
+            )
+            dirn = jnp.concatenate(
+                [dirn, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dirn.dtype),
+                                (pad, 1))]
+            )
+            ray_ids = jnp.concatenate(
+                [ray_ids, n + jnp.arange(pad, dtype=jnp.int32)]
+            )
+            if uniforms is not None:
+                uniforms = jnp.concatenate(
+                    [uniforms, jnp.zeros(
+                        (uniforms.shape[0], pad, uniforms.shape[2]),
+                        uniforms.dtype,
+                    )], axis=1,
+                )
+
+        if uniforms is None:
+            in_specs = (P(axis_name), P(axis_name), P(axis_name))
+            args = (orig, dirn, ray_ids)
+        else:
+            in_specs = (P(axis_name), P(axis_name), P(axis_name),
+                        P(None, axis_name, None))
+            args = (orig, dirn, ray_ids, uniforms)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(P(axis_name), P(axis_name)),
+            check_vma=False,
+        )
+        def _run(o, d, ids, un=None):
+            c, rc = _trace_chunked(
+                scene, o, d, ids, settings, bounce_key, accel, uniforms=un
+            )
+            return c, rc[None]
+
+        color, rc_shards = _run(*args)
+        color = color[:n]
+        rays_cast = jnp.sum(rc_shards)
+
     color = from_tile_order(color, w, h, spp)
     film = color.reshape(spp, h, w, 3).mean(axis=0)
-    return jnp.clip(film, 0.0, 1.0)
+    film = jnp.clip(film, 0.0, 1.0)
+    if return_stats:
+        return film, {"rays_cast": rays_cast}
+    return film

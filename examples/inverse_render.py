@@ -99,7 +99,10 @@ def main(argv=None) -> int:
          "frozen": optax.set_to_zero()},
         labels,
     )
-    step = jax.jit(make_train_step(scene, args.bounces, opt, mesh, accel=accel))
+    # refit=True: leaf records + boxes recomputed from the live vertices
+    # on-device each step, so the traversal tracks the moving geometry
+    step = jax.jit(make_train_step(scene, args.bounces, opt, mesh,
+                                   accel=accel, refit=True))
     opt_state = opt.init(p)
 
     t0 = time.perf_counter()

@@ -124,3 +124,52 @@ def test_single_triangle_bvh():
     np.testing.assert_allclose(float(t[0]), 1.0, rtol=1e-6)
     assert int(fid[0]) == 0
     assert int(fid[1]) == -1
+
+
+def test_refit_wide_matches_bruteforce_after_vertex_move(rng):
+    # Device-side refit (accel.refit_wide): move the vertices, refit the
+    # tables in-jit, and the kernel's nearest hit must match brute force on
+    # the MOVED geometry (stale tables would miss silhouettes).
+    from atray_tpu.accel.wide import refit_wide, wide_from_mesh
+    from atray_tpu.kernels.wide_exact2 import wide_exact2_first_hit
+
+    mesh = procedural.uv_sphere(rows=12, cols=12)
+    accel = wide_from_mesh(mesh.vertices, mesh.faces, KDTreeConfig(leaf_size=8))
+
+    v_new = jnp.asarray(mesh.vertices) + jnp.asarray(
+        rng.normal(0.0, 0.02, np.asarray(mesh.vertices).shape), jnp.float32
+    )
+    f = jnp.asarray(mesh.faces)
+
+    n = 256
+    orig = jnp.asarray(rng.normal(0, 3.0, (n, 3)), jnp.float32)
+    dirn = orig / jnp.linalg.norm(orig, axis=1, keepdims=True)
+    orig, dirn = -3.0 * dirn, dirn  # aim at the origin-centred sphere
+
+    @jax.jit
+    def refit_hit(v):
+        acc = refit_wide(accel, v, f)
+        return wide_exact2_first_hit(acc, orig, dirn, interpret=True)
+
+    t_k, _, _, id_k = refit_hit(v_new)
+
+    p0 = v_new[f[:, 0]]
+    e1 = v_new[f[:, 1]] - p0
+    e2 = v_new[f[:, 2]] - p0
+    t_b, _, _, id_b = first_triangle_hit(orig, dirn, p0, e1, e2)
+
+    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_b), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(id_k), np.asarray(id_b))
+    assert int(np.sum(np.asarray(id_b) >= 0)) > 100  # most rays hit
+
+    # The refit must survive autodiff: the XLA program jax.grad builds can
+    # flush the denormal bitcast face ids to zero if they transit float ops
+    # (the refit scatter therefore runs in the int32 bit domain). Assert
+    # the grad-primal hit ids match the forward ones.
+    def hitsum(v):
+        acc = refit_wide(accel, v, f)
+        _, _, _, ids = wide_exact2_first_hit(acc, orig, dirn, interpret=True)
+        return 0.0 * jnp.sum(v), ids
+
+    (_, ids_grad), _ = jax.value_and_grad(hitsum, has_aux=True)(v_new)
+    np.testing.assert_array_equal(np.asarray(ids_grad), np.asarray(id_b))

@@ -31,16 +31,51 @@ def _scene():
     return build_scene([mesh], materials=MATS)
 
 
-def test_sharded_matches_single_device_deterministic(devices):
-    # bounce_limit=1 -> image independent of RNG, so sharded == local exactly
+def test_sharded_matches_single_device_multibounce_bitexact(devices):
+    # Layout-invariant PRNG (key = f(global ray id, bounce), wavefront.
+    # ray_uniforms): the MULTIBOUNCE stochastic sharded render must equal
+    # the single-device render bit-for-bit on the 8-way mesh — SURVEY.md §7
+    # hard part 5 (the reference's rdtsc*tid seeding is the anti-pattern).
     scene = _scene()
     cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
-    s = RenderSettings(resolution=(16, 16), samples_per_pixel=1, bounce_limit=1)
+    s = RenderSettings(resolution=(16, 16), samples_per_pixel=2, bounce_limit=3)
     mesh = make_device_mesh()
     assert mesh.devices.size == 8
     film_sh = render_sharded(scene, cam, s, jax.random.PRNGKey(0), mesh)
     film_lo = render(scene, cam, s, jax.random.PRNGKey(0))
-    np.testing.assert_allclose(np.asarray(film_sh), np.asarray(film_lo), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(film_sh), np.asarray(film_lo))
+    assert np.asarray(film_lo).std() > 0.01
+
+
+def test_sharded_bitexact_with_nee_and_chunking(devices):
+    # The unified renderer honors NEE + chunking under shard_map and stays
+    # bit-identical to the single-device whole-frame run.
+    import jax.numpy as jnp
+    from atray_tpu.scene.data import Spheres
+
+    mesh_body = translate(
+        procedural.uv_sphere(rows=8, cols=8, material=1), (0, 0, -4)
+    )
+    mats = make_materials([
+        ((0.05, 0.05, 0.08), (0.0, 0.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0), (0.8, 0.5, 0.3), 0.2),
+        ((6.0, 5.0, 4.0), (0.0, 0.0, 0.0), 0.0),
+    ])
+    spheres = Spheres(
+        centers=jnp.asarray([[1.5, 2.0, -3.0]], jnp.float32),
+        radii=jnp.asarray([0.5], jnp.float32),
+        material_id=jnp.asarray([2], jnp.int32),
+    )
+    scene = build_scene([mesh_body], spheres=spheres, materials=mats)
+    cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    s = RenderSettings(
+        resolution=(12, 12), samples_per_pixel=2, bounce_limit=3,
+        nee=True, ray_chunk=72,
+    )
+    dmesh = make_device_mesh()
+    film_sh = render_sharded(scene, cam, s, jax.random.PRNGKey(5), dmesh)
+    film_lo = render(scene, cam, s, jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(film_sh), np.asarray(film_lo))
 
 
 def test_sharded_multibounce_runs_and_is_reproducible(devices):
@@ -57,8 +92,9 @@ def test_sharded_multibounce_runs_and_is_reproducible(devices):
 
 def test_psum_grads_match_local_grads(devices):
     # Gradient all-reduce over the mesh must equal the single-device grad
-    # of the identical global loss (same uniforms via same fold_in pattern
-    # is NOT guaranteed across layouts, so use bounce_limit=1: det.).
+    # of the identical global loss — at MULTIBOUNCE (stochastic) depth,
+    # because the uniform streams are keyed by global ray id and therefore
+    # layout-invariant (VERDICT r1 weak #5 fix).
     scene = _scene()
     bvh = build_bvh(scene.mesh.vertices, scene.mesh.faces, KDTreeConfig())
     cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
@@ -68,14 +104,14 @@ def test_psum_grads_match_local_grads(devices):
     mesh = make_device_mesh()
     key = jax.random.PRNGKey(0)
 
-    lg = make_loss_and_grad(scene, bounce_limit=1, mesh=mesh, accel=bvh)
+    lg = make_loss_and_grad(scene, bounce_limit=2, mesh=mesh, accel=bvh)
     loss_sh, grads_sh = jax.jit(lg)(scene.params(), orig, dirn, target, key)
 
     from atray_tpu.render.wavefront import trace_radiance
 
     def local_loss(p):
         sc = scene.with_params(p)
-        color = trace_radiance(sc, orig, dirn, 1, key=key, accel=bvh)
+        color = trace_radiance(sc, orig, dirn, 2, key=key, accel=bvh)
         return jnp.sum((color - target) ** 2) / (3.0 * orig.shape[0])
 
     loss_lo, grads_lo = jax.value_and_grad(local_loss)(scene.params())
