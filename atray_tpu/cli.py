@@ -242,6 +242,29 @@ def cmd_render(args) -> int:
                 render_fn=rfn,
             )
         film = state.film()
+    elif args.telemetry:
+        # per-chunk cost table — the reference's interactive per-tile ms +
+        # ray-count inspection (app.cpp:218-234), batch-mode
+        from atray_tpu.render.telemetry import render_telemetry, tail_report
+
+        key = jax.random.PRNGKey(args.seed)
+        with Phase("render", block=True):
+            film_d, report = render_telemetry(
+                scene, camera, settings, key, accel=accel,
+                n_chunks=args.telemetry,
+            )
+        film = np.asarray(film_d)
+        per_shard = None
+        if dmesh is not None:
+            # shard balance probe through the sharded renderer's stats
+            _, st = jax.jit(
+                lambda k: render(
+                    scene, camera, settings, k, accel=accel, mesh=dmesh,
+                    return_stats=True,
+                )
+            )(key)
+            per_shard = np.asarray(st["rays_cast_per_shard"])
+        tail_report(report, rays_per_shard=per_shard, file=sys.stderr)
     else:
         key = jax.random.PRNGKey(args.seed)
         with Phase("compile"):
@@ -308,6 +331,9 @@ def main(argv=None) -> int:
                     help="npz checkpoint path for progressive resume")
     pr.add_argument("--preview", default=None,
                     help="in-flight preview PNG path (progressive mode)")
+    pr.add_argument("--telemetry", type=int, default=0, metavar="N",
+                    help="render as N timed chunks and print the per-chunk "
+                         "cost / tail-latency table (per-tile ms analog)")
     pr.set_defaults(fn=cmd_render)
 
     pi = sub.add_parser("info", help="show devices / runtime info")

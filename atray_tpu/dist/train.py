@@ -10,11 +10,13 @@ ICI — the gradient-reduction design from SURVEY.md §5.8.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -103,3 +105,107 @@ def make_train_step(
         return params, opt_state, loss
 
     return step
+
+
+def save_train_state(
+    path: str,
+    params: SceneParams,
+    opt_state,
+    step: int,
+    seed: int,
+) -> None:
+    """Checkpoint the FULL optimization state — scene params, optimizer
+    state (Adam moments etc.), step counter, base PRNG seed — so a
+    preempted inverse-rendering job resumes bit-exactly (SURVEY.md §5.4;
+    the per-step key is fold_in(seed, step), counter-based).
+
+    Pytrees are flattened to indexed npz leaves; structure is re-derived on
+    load from a template, so no pickle and no custom tags. Atomic replace
+    (the reference's analog is the collision-safe BMP writer,
+    texture.cpp:95-113 — here the concern is a kill mid-write).
+    """
+    leaves_p = jax.tree_util.tree_leaves(params)
+    leaves_o = jax.tree_util.tree_leaves(opt_state)
+    payload = {f"p{i}": np.asarray(x) for i, x in enumerate(leaves_p)}
+    payload.update({f"o{i}": np.asarray(x) for i, x in enumerate(leaves_o)})
+    payload["step"] = np.int64(step)
+    payload["seed"] = np.int64(seed)
+    tmp = path + ".tmp"
+    np.savez(tmp, **payload)
+    os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
+
+
+def load_train_state(
+    path: str,
+    params_template: SceneParams,
+    optimizer: optax.GradientTransformation,
+):
+    """Restore (params, opt_state, step, seed) from ``save_train_state``.
+
+    Returns None when no checkpoint exists. Tree structures come from the
+    template (``optimizer.init(params_template)`` for the optimizer), so a
+    checkpoint only matches the run that created it — shape mismatches
+    raise instead of silently mixing states.
+    """
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    pdef = jax.tree_util.tree_structure(params_template)
+    odef = jax.tree_util.tree_structure(optimizer.init(params_template))
+    n_p = pdef.num_leaves
+    n_o = odef.num_leaves
+    leaves_p = [jnp.asarray(z[f"p{i}"]) for i in range(n_p)]
+    leaves_o = [jnp.asarray(z[f"o{i}"]) for i in range(n_o)]
+    tmpl_p = jax.tree_util.tree_leaves(params_template)
+    for i, (got, want) in enumerate(zip(leaves_p, tmpl_p)):
+        if got.shape != jnp.shape(want):
+            raise ValueError(
+                f"checkpoint param leaf {i} shape {got.shape} != "
+                f"template {jnp.shape(want)}"
+            )
+    params = jax.tree_util.tree_unflatten(pdef, leaves_p)
+    opt_state = jax.tree_util.tree_unflatten(odef, leaves_o)
+    return params, opt_state, int(z["step"]), int(z["seed"])
+
+
+def run_training(
+    step_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    params: SceneParams,
+    opt_state,
+    orig,
+    dirn,
+    target,
+    num_steps: int,
+    seed: int = 0,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
+    on_step: Optional[Callable] = None,
+):
+    """Drive ``step_fn`` for ``num_steps``, checkpointing train state every
+    ``checkpoint_every`` steps and resuming from ``checkpoint_path`` if it
+    exists. Per-step keys are fold_in(PRNGKey(seed), step) — pure counter
+    streams, so kill + resume reproduces the uninterrupted run exactly.
+
+    Returns (params, opt_state, losses list for the steps run here).
+    """
+    start = 0
+    if checkpoint_path:
+        got = load_train_state(checkpoint_path, params, optimizer)
+        if got is not None:
+            params, opt_state, start, seed = got
+    base = jax.random.PRNGKey(seed)
+    losses = []
+    for s in range(start, num_steps):
+        key = jax.random.fold_in(base, s)
+        params, opt_state, loss = step_fn(
+            params, opt_state, orig, dirn, target, key
+        )
+        losses.append(float(loss))
+        if checkpoint_path and (s + 1) % checkpoint_every == 0:
+            save_train_state(checkpoint_path, params, opt_state, s + 1, seed)
+        if on_step is not None:
+            on_step(s, float(loss))
+    if checkpoint_path and num_steps > start:
+        save_train_state(checkpoint_path, params, opt_state, num_steps, seed)
+    return params, opt_state, losses

@@ -935,6 +935,7 @@ def render(
     n = orig.shape[0]
     ray_ids = jnp.arange(n, dtype=jnp.int32)
 
+    rays_cast_per_shard = None
     if mesh is None:
         color, rays_cast = _trace_chunked(
             scene, orig, dirn, ray_ids, settings, bounce_key, accel,
@@ -988,10 +989,17 @@ def render(
         color, rc_shards = _run(*args)
         color = color[:n]
         rays_cast = jnp.sum(rc_shards)
+        # per-shard live-ray counts: the reference's per-tile ray_casts
+        # (renderer.cpp:465-468) summed per device — the load-balance /
+        # tail-latency signal for the static sharding (telemetry.py)
+        rays_cast_per_shard = rc_shards
 
     color = from_tile_order(color, w, h, spp)
     film = color.reshape(spp, h, w, 3).mean(axis=0)
     film = jnp.clip(film, 0.0, 1.0)
     if return_stats:
-        return film, {"rays_cast": rays_cast}
+        stats = {"rays_cast": rays_cast}
+        if rays_cast_per_shard is not None:
+            stats["rays_cast_per_shard"] = rays_cast_per_shard
+        return film, stats
     return film

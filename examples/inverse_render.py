@@ -24,7 +24,7 @@ from atray_tpu.accel.wide import make_accel
 from atray_tpu.config import KDTreeConfig
 from atray_tpu.core.camera import camera_rays, look_at_camera
 from atray_tpu.dist.mesh import make_device_mesh, trace_sharded
-from atray_tpu.dist.train import make_train_step
+from atray_tpu.dist.train import make_train_step, run_training
 from atray_tpu.scene import build_scene, procedural
 from atray_tpu.scene.data import SceneParams, make_materials
 from atray_tpu.scene.transforms import translate
@@ -64,6 +64,10 @@ def main(argv=None) -> int:
     ap.add_argument("--tris", type=int, default=5000)
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--bounces", type=int, default=2)
+    ap.add_argument("--checkpoint", default=None,
+                    help="npz train-state path; resumes if present "
+                         "(params + optimizer state + step + seed)")
+    ap.add_argument("--checkpoint-every", type=int, default=10)
     args = ap.parse_args(argv)
 
     scene, accel, orig, dirn = build_problem(args.views, args.res, args.tris)
@@ -105,18 +109,34 @@ def main(argv=None) -> int:
                                    accel=accel, refit=True))
     opt_state = opt.init(p)
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        p, opt_state, loss = step(p, opt_state, orig, dirn, target, key)
+    def on_step(i, loss):
         if i % 10 == 0 or i == args.steps - 1:
             # material 1 only: the skybox row never affects the image
-            alb_err = float(jnp.abs(p.albedo[1] - p_true.albedo[1]).max())
-            v_err = float(jnp.abs(p.vertices - p_true.vertices).mean())
-            print(f"step {i:4d}  loss {float(loss):.3e}  "
+            alb_err = float(jnp.abs(p_box[0].albedo[1] - p_true.albedo[1]).max())
+            v_err = float(jnp.abs(p_box[0].vertices - p_true.vertices).mean())
+            print(f"step {i:4d}  loss {loss:.3e}  "
                   f"albedo_err {alb_err:.4f}  vert_err {v_err:.2e}")
+
+    # box so on_step sees the live params as training advances
+    p_box = [p]
+
+    def step_track(p_, o_, *rest):
+        out = step(p_, o_, *rest)
+        p_box[0] = out[0]
+        return out
+
+    t0 = time.perf_counter()
+    p, opt_state, losses = run_training(
+        step_track, opt, p, opt_state, orig, dirn, target,
+        num_steps=args.steps, seed=0,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        on_step=on_step,
+    )
     dt = time.perf_counter() - t0
-    print(f"{args.steps} steps in {dt:.1f}s "
-          f"({args.steps * orig.shape[0] * args.bounces / dt / 1e6:.2f} "
+    steps_run = len(losses)
+    print(f"{steps_run} steps in {dt:.1f}s "
+          f"({steps_run * orig.shape[0] * args.bounces / max(dt, 1e-9) / 1e6:.2f} "
           f"Mray-steps/s incl. backward)")
     return 0
 

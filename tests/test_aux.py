@@ -231,3 +231,143 @@ class TestBMP:
         w = st.unpack("<i", data[18:22])[0]
         h = st.unpack("<i", data[22:26])[0]
         assert (w, h) == (5, 7)
+
+
+class TestTrainCheckpoint:
+    """SURVEY.md §5.4 second half: optimizer/training-state persistence
+    (the film accumulator half is TestProgressive above)."""
+
+    def _problem(self):
+        import jax.numpy as jnp
+
+        from atray_tpu.accel.bvh import build_bvh
+        from atray_tpu.config import KDTreeConfig
+        from atray_tpu.core.camera import camera_rays
+
+        mats = make_materials([
+            ((0.3, 0.4, 0.6), (0.0, 0.0, 0.0), 0.0),
+            ((0.0, 0.0, 0.0), (0.8, 0.45, 0.25), 0.2),
+        ])
+        mesh = translate(procedural.uv_sphere(rows=6, cols=6, material=1),
+                         (0, 0, -4))
+        scene = build_scene([mesh], materials=mats)
+        bvh = build_bvh(scene.mesh.vertices, scene.mesh.faces, KDTreeConfig())
+        cam = look_at_camera((0, 0.3, 0.5), (0, 0, -4), h_fov=0.9, aspect=1.0)
+        orig, dirn = camera_rays(cam, 8, 8, spp=1)
+        target = jnp.zeros_like(orig)
+        return scene, bvh, orig, dirn, target
+
+    def test_save_load_roundtrip(self, tmp_path):
+        import optax
+
+        from atray_tpu.dist.train import load_train_state, save_train_state
+
+        scene, _, _, _, _ = self._problem()
+        p = scene.params()
+        opt = optax.adam(1e-2)
+        st = opt.init(p)
+        path = str(tmp_path / "train.npz")
+        save_train_state(path, p, st, step=7, seed=42)
+        got = load_train_state(path, p, opt)
+        assert got is not None
+        p2, st2, step, seed = got
+        assert (step, seed) == (7, 42)
+        for a, b in zip(jax.tree_util.tree_leaves(p),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(st),
+                        jax.tree_util.tree_leaves(st2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert load_train_state(str(tmp_path / "none.npz"), p, opt) is None
+
+    def test_kill_resume_reproduces_uninterrupted_run(self, tmp_path, devices):
+        # 6 optimization steps straight through vs 3 steps -> "kill" ->
+        # resume from the checkpoint for the rest: params and optimizer
+        # state must match BIT-EXACTLY (per-step keys are fold_in(seed,
+        # step) counters, so the resumed stream continues the original).
+        import optax
+
+        from atray_tpu.dist.mesh import make_device_mesh
+        from atray_tpu.dist.train import make_train_step, run_training
+
+        scene, bvh, orig, dirn, target = self._problem()
+        dmesh = make_device_mesh()
+        opt = optax.adam(2e-2)
+        step = jax.jit(make_train_step(scene, 2, opt, dmesh, accel=bvh))
+        p0 = scene.params()
+        s0 = opt.init(p0)
+
+        p_full, s_full, losses_full = run_training(
+            step, opt, p0, s0, orig, dirn, target, num_steps=6, seed=9,
+        )
+
+        path = str(tmp_path / "ckpt.npz")
+        run_training(  # first half, checkpoints at step 3
+            step, opt, p0, s0, orig, dirn, target, num_steps=3, seed=9,
+            checkpoint_path=path, checkpoint_every=3,
+        )
+        # "kill": fresh params/opt_state; resume must come from the file
+        p_res, s_res, losses_res = run_training(
+            step, opt, p0, s0, orig, dirn, target, num_steps=6, seed=9,
+            checkpoint_path=path, checkpoint_every=3,
+        )
+        assert len(losses_res) == 3  # only steps 3..5 re-run
+        for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                        jax.tree_util.tree_leaves(p_res)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(s_full),
+                        jax.tree_util.tree_leaves(s_res)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestTelemetry:
+    def test_chunked_telemetry_matches_render_and_reports(self, devices):
+        # film from the per-chunk timed path must equal the whole-frame
+        # render bit-for-bit (global ray ids -> same PRNG streams), and the
+        # tail table must cover every chunk.
+        import jax.numpy as jnp
+
+        from atray_tpu.render.telemetry import render_telemetry, tail_report
+        from atray_tpu.render.wavefront import render
+
+        mats = make_materials([
+            ((0.3, 0.4, 0.6), (0.0, 0.0, 0.0), 0.0),
+            ((0.0, 0.0, 0.0), (0.8, 0.45, 0.25), 0.2),
+        ])
+        mesh = translate(procedural.uv_sphere(rows=8, cols=8, material=1),
+                         (0, 0, -4))
+        scene = build_scene([mesh], materials=mats)
+        cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+        s = RenderSettings(resolution=(16, 16), samples_per_pixel=2,
+                           bounce_limit=3)
+        key = jax.random.PRNGKey(0)
+        film, report = render_telemetry(scene, cam, s, key, n_chunks=4)
+        film_ref = render(scene, cam, s, key)
+        np.testing.assert_array_equal(np.asarray(film), np.asarray(film_ref))
+        assert report["n_chunks"] == 4
+        assert len(report["chunk_s"]) == 4
+        assert sum(report["chunk_live_rays"]) > 0
+        text = tail_report(report)
+        assert "imbal" in text and "chunk wall" in text
+
+    def test_sharded_stats_expose_per_shard_rays(self, devices):
+        from atray_tpu.dist.mesh import make_device_mesh
+        from atray_tpu.render.wavefront import render
+
+        mats = make_materials([
+            ((0.3, 0.4, 0.6), (0.0, 0.0, 0.0), 0.0),
+            ((0.0, 0.0, 0.0), (0.8, 0.45, 0.25), 0.2),
+        ])
+        mesh = translate(procedural.uv_sphere(rows=8, cols=8, material=1),
+                         (0, 0, -4))
+        scene = build_scene([mesh], materials=mats)
+        cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+        s = RenderSettings(resolution=(16, 16), samples_per_pixel=2,
+                           bounce_limit=3)
+        dmesh = make_device_mesh()
+        film, stats = render(scene, cam, s, jax.random.PRNGKey(0),
+                             mesh=dmesh, return_stats=True)
+        per_shard = np.asarray(stats["rays_cast_per_shard"])
+        assert per_shard.shape == (8,)
+        assert per_shard.sum() == float(stats["rays_cast"])
+        assert (per_shard > 0).all()  # every shard saw live primaries
