@@ -17,6 +17,6 @@ execution, live progress, profiling, and image output — re-designed TPU-first:
 
 __version__ = "0.1.0"
 
-from atray_tpu.config import RenderSettings, KDTreeConfig, Config
+from atray_tpu.config import KDTreeConfig, MeshConfig, RenderSettings
 from atray_tpu.core.camera import Camera, make_camera
 from atray_tpu.scene.data import Materials, Scene, TriMesh, Spheres, Planes

@@ -45,7 +45,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 def load_scene_file(path: str):
     """Parse a scene TOML into (scene, camera, settings, accel_cfg)."""
-    from atray_tpu.config import KDTreeConfig, RenderSettings
+    from atray_tpu.config import KDTreeConfig, MeshConfig, RenderSettings
     from atray_tpu.core.camera import look_at_camera
     from atray_tpu.scene import build_scene, load_obj, procedural
     from atray_tpu.scene.data import Planes, Spheres, make_materials
@@ -75,6 +75,15 @@ def load_scene_file(path: str):
             f"unknown [accel] keys {sorted(aunknown)}; valid: {sorted(aknown)}"
         )
     accel_cfg = KDTreeConfig(**acfg)
+
+    mcfg = dict(doc.get("mesh", {}))
+    mknown = {f.name for f in _dc.fields(MeshConfig)}
+    munknown = set(mcfg) - mknown
+    if munknown:
+        raise ValueError(
+            f"unknown [mesh] keys {sorted(munknown)}; valid: {sorted(mknown)}"
+        )
+    mesh_cfg = MeshConfig(**mcfg)
 
     mat_rows = []
     mat_index: Dict[str, int] = {}
@@ -164,7 +173,7 @@ def load_scene_file(path: str):
         h_fov=float(ccfg.get("h_fov", 0.9)),
         aspect=w / h,
     )
-    return scene, camera, settings, accel_cfg
+    return scene, camera, settings, accel_cfg, mesh_cfg
 
 
 def cmd_render(args) -> int:
@@ -177,7 +186,9 @@ def cmd_render(args) -> int:
     from atray_tpu.utils.profiling import Phase, phase_report
 
     with Phase("load"):
-        scene, camera, settings, accel_cfg = load_scene_file(args.scene)
+        scene, camera, settings, accel_cfg, mesh_cfg = load_scene_file(
+            args.scene
+        )
         if args.spp:
             settings = dataclasses.replace(settings, samples_per_pixel=args.spp)
         if args.res:
@@ -209,10 +220,11 @@ def cmd_render(args) -> int:
         )
 
     dmesh = None
-    if args.mesh:
+    mesh_n = args.mesh or mesh_cfg.num_devices  # CLI overrides [mesh] TOML
+    if mesh_n:
         from atray_tpu.dist.mesh import make_device_mesh
 
-        n_dev = None if args.mesh < 0 else args.mesh
+        n_dev = None if mesh_n < 0 else mesh_n
         dmesh = make_device_mesh(num_devices=n_dev)
         print(f"device mesh: {dmesh.devices.size} device(s)", file=sys.stderr)
 

@@ -31,8 +31,6 @@ class RenderSettings:
     nee: next-event estimation — explicit shadow rays to sphere lights at
         every hit (BASELINE config 2 'shadow rays'); cuts variance from
         small bright emitters dramatically.
-    dtype: compute dtype for shading ("float32" | "bfloat16"); geometry /
-        intersection always runs f32 for precision.
     """
 
     resolution: Tuple[int, int] = (1280, 720)
@@ -43,7 +41,6 @@ class RenderSettings:
     ray_chunk: int = 0
     sort_bounces: bool = False
     nee: bool = False
-    dtype: str = "float32"
 
     @property
     def width(self) -> int:
@@ -71,19 +68,14 @@ class KDTreeConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Device-mesh shape for SPMD execution (hosts x chips-per-host)."""
+    """Device-mesh shape for SPMD execution.
 
-    num_devices: int = 0  # 0 = use all visible devices
+    Parsed from the scene TOML's ``[mesh]`` table (num_devices = N,
+    axis_name = "rays") and built by the CLI via
+    ``dist.mesh.make_device_mesh``; the ``--mesh`` flag overrides it.
+    ``num_devices`` 0 means single-device (no shard_map); -1 means all
+    visible devices.
+    """
+
+    num_devices: int = 0
     axis_name: str = "rays"
-
-
-@dataclasses.dataclass(frozen=True)
-class Config:
-    """Top-level config: scene file + render + accel + device mesh + seed."""
-
-    scene: Optional[str] = None
-    render: RenderSettings = dataclasses.field(default_factory=RenderSettings)
-    accel: KDTreeConfig = dataclasses.field(default_factory=KDTreeConfig)
-    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
-    seed: int = 0
-    output: str = "out.png"

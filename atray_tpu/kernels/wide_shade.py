@@ -339,7 +339,12 @@ def wide_shade_first_hit(
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # v5e has ~128 MiB physical VMEM; the default scoped limit
+            # (16 MiB) rejects large resident BVH/triangle tables
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
     )(rays, swbvh.cboxes, swbvh.clinks, swbvh.tris)
 
     def flat(k):

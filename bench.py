@@ -90,30 +90,49 @@ def main() -> None:
 
     cam = look_at_camera((0.0, 1.0, 0.8), (0.0, 0.0, -4.0), h_fov=0.9, aspect=w / h)
     chunk = int(os.environ.get("ATRAY_BENCH_CHUNK", str(2 * 1920 * 1080)))
+    # The frame renders as spp passes of ``spp_pass`` samples, one dispatch
+    # each (keys fold_in(frame_key, pass)) — the axon relay kills single
+    # XLA programs running longer than ~60-90 s, and 1080p x 64 spp x 5
+    # bounces in one program crosses that. Within a pass, rays go through
+    # the lax.map chunk loop as usual. Frame time = sum of pass walls.
+    spp_pass = min(spp, int(os.environ.get("ATRAY_BENCH_SPP_PASS", "8")))
+    assert spp % spp_pass == 0, "spp must be a multiple of ATRAY_BENCH_SPP_PASS"
+    n_pass = spp // spp_pass
     settings = RenderSettings(
-        resolution=(w, h), samples_per_pixel=spp, bounce_limit=bounces,
+        resolution=(w, h), samples_per_pixel=spp_pass, bounce_limit=bounces,
         ray_chunk=chunk, sort_bounces=sort,
     )
 
     n_chips = jax.device_count()
 
-    jframe = jax.jit(
+    jpass = jax.jit(
         lambda key: render(
             scene, cam, settings, key, accel=accel, return_stats=True
         )
     )
+
+    def frame(frame_key):
+        """One full frame = n_pass dispatches; returns (film, live_rays).
+        Stats stay device-side until the end (a d2h inside the loop would
+        both sync early and degrade later dispatch latency on the relay)."""
+        acc = None
+        live = []
+        for p in range(n_pass):
+            film, stats = jpass(jax.random.fold_in(frame_key, p))
+            acc = film if acc is None else acc + film
+            live.append(stats["rays_cast"])
+        acc = jax.block_until_ready(acc) / n_pass
+        return acc, float(sum(jax.device_get(live)))
+
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    film, stats = jframe(key)
-    jax.block_until_ready(film)
+    _, live_rays = frame(key)
     t_compile = time.perf_counter() - t0
-    live_rays = float(stats["rays_cast"])
 
     times = []
     for i in range(reps):
-        k = jax.random.PRNGKey(i + 1)
         t0 = time.perf_counter()
-        jax.block_until_ready(jframe(k))
+        frame(jax.random.PRNGKey(i + 1))
         times.append(time.perf_counter() - t0)
     best = min(times)
 

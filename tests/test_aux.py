@@ -146,14 +146,18 @@ material = "red"
 normal = [0.0, 2.0, 0.0]
 offset = -1.5
 material = "red"
+
+[mesh]
+num_devices = 8
 """
         p = tmp_path / "scene.toml"
         p.write_text(toml)
         from atray_tpu.cli import load_scene_file
 
-        scene, camera, settings, accel_cfg = load_scene_file(str(p))
+        scene, camera, settings, accel_cfg, mesh_cfg = load_scene_file(str(p))
         assert settings.resolution == (32, 24)
         assert settings.samples_per_pixel == 2
+        assert mesh_cfg.num_devices == 8
         assert scene.mesh.num_faces == 12
         assert scene.spheres.count == 1
         assert scene.planes.count == 1
