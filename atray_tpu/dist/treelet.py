@@ -1,0 +1,268 @@
+"""Treelet (geometry-sharded) rendering: rays ride the ICI ring.
+
+SURVEY.md §5.7's documented scale-out for scenes exceeding per-chip HBM —
+the ring-attention analog. The triangle set is partitioned spatially into
+one treelet per device; each device keeps ONLY its treelet resident (like a
+KV shard) while the per-device ray block rotates around the ring via
+``jax.lax.ppermute`` (§5.8). After ``n_devices`` hops every ray has been
+tested against every treelet, carries its global nearest hit + shading
+payload (t, interpolated normal, material id), and is back on its home
+device, where shading proceeds exactly as in the replicated-scene path
+(render/wavefront.py, via its ``hit_override`` seam).
+
+Contrast with the reference: its only scaling axis is image tiles over
+shared-memory threads (renderer.cpp:403-455) — geometry is always fully
+resident. This module is the axis it lacks: scene-size scaling over
+devices with explicit interconnect collectives.
+
+Determinism: the ray payload includes nothing layout-dependent; PRNG stays
+keyed by (key, global ray id, bounce), so the treelet render matches the
+single-device render to float tolerance (the only reordering is which
+treelet is tested first — ties between equal-t hits may break differently).
+
+The per-hop local query here is the brute-force Möller–Trumbore batch
+(core/intersect.py) over the treelet's padded record table — the oracle
+path. Visibility is forward-only (records detached); gradients for
+treelet-scale scenes would come from replaying hits against sharded
+parameters, a future round.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from atray_tpu.config import RenderSettings
+from atray_tpu.core.camera import Camera, camera_rays
+from atray_tpu.core.intersect import INF, moller_trumbore, normalize
+from atray_tpu.render.wavefront import (
+    build_face_table,
+    from_tile_order,
+    to_tile_order,
+    trace_radiance,
+)
+from atray_tpu.scene.data import Scene, dataclasses as _dc  # noqa: F401
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TreeletGeom:
+    """Spatially partitioned, padded triangle records.
+
+    ``recs``: (P, Tpad, 20) f32 — per part, rows in face-table layout
+    [p0(3), e1(3), e2(3), n0(3), n1(3), n2(3), material_id, global_face_id]
+    (wavefront.build_face_table with the pad slot carrying the id). Pad
+    rows are all-zero: degenerate edges make the Möller–Trumbore
+    determinant 0, so they can never register a hit.
+    """
+
+    recs: jnp.ndarray
+
+    @property
+    def num_parts(self) -> int:
+        return self.recs.shape[0]
+
+
+def partition_faces(vertices: np.ndarray, faces: np.ndarray, n_parts: int):
+    """Balanced spatial partition of faces: sort by centroid along the
+    longest axis of the centroid bounding box, split into ``n_parts``
+    contiguous chunks (sizes differ by <= 1). Host-side numpy.
+
+    Returns a list of int index arrays (a permutation of arange(T) split
+    into parts). Spatial contiguity keeps each treelet's bounding volume
+    tight, which is what bounds per-hop work for real scenes.
+    """
+    t = faces.shape[0]
+    if t == 0:
+        return [np.zeros((0,), np.int64) for _ in range(n_parts)]
+    cent = vertices[faces].mean(axis=1)  # (T, 3)
+    spread = cent.max(axis=0) - cent.min(axis=0)
+    order = np.argsort(cent[:, int(np.argmax(spread))], kind="stable")
+    return np.array_split(order, n_parts)
+
+
+def build_treelets(scene: Scene, n_parts: int) -> TreeletGeom:
+    """Partition the scene's mesh into ``n_parts`` padded record tables."""
+    ft = build_face_table(scene)
+    if ft is None:
+        raise ValueError("treelet sharding needs a non-empty mesh")
+    ft = np.array(ft)  # writable copy
+    ft[:, 19] = np.arange(ft.shape[0], dtype=np.float32)  # global face id
+    parts = partition_faces(
+        np.asarray(scene.mesh.vertices), np.asarray(scene.mesh.faces), n_parts
+    )
+    tpad = max(1, max(len(p) for p in parts))
+    recs = np.zeros((n_parts, tpad, 20), np.float32)
+    for i, idx in enumerate(parts):
+        recs[i, : len(idx)] = ft[idx]
+        recs[i, len(idx):, 19] = -1.0
+    return TreeletGeom(recs=jnp.asarray(recs))
+
+
+def _local_first_hit(recs: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray):
+    """Nearest hit of each ray against ONE treelet's records.
+
+    Returns (t, n, mat, fid): (R,), (R,3), (R,) i32, (R,) i32 — miss is
+    (INF, 0, 0, -1). Brute-force MT batch; the normal is barycentrically
+    interpolated from the record's vertex normals (smooth/flat pre-baked,
+    reference renderer.cpp:124-149 semantics via build_face_table).
+    """
+    p0, e1, e2 = recs[:, 0:3], recs[:, 3:6], recs[:, 6:9]
+    t, u, v, hit = moller_trumbore(
+        o[:, None, :], d[:, None, :], p0[None], e1[None], e2[None]
+    )  # (R, T)
+    j = jnp.argmin(t, axis=1)
+    rr = jnp.arange(t.shape[0])
+    t_b = t[rr, j]
+    found = t_b < INF
+    row = recs[j]  # (R, 20)
+    w0 = (1.0 - u[rr, j] - v[rr, j])[:, None]
+    n = normalize(
+        w0 * row[:, 9:12]
+        + u[rr, j][:, None] * row[:, 12:15]
+        + v[rr, j][:, None] * row[:, 15:18]
+    )
+    mat = jnp.where(found, row[:, 18].astype(jnp.int32), 0)
+    fid = jnp.where(found, row[:, 19].astype(jnp.int32), -1)
+    return t_b, jnp.where(found[:, None], n, 0.0), mat, fid
+
+
+def ring_first_hit(
+    recs_local: jnp.ndarray,   # (1, Tpad, 20) — THIS device's treelet
+    orig: jnp.ndarray,         # (R, 3) local ray block
+    dirn: jnp.ndarray,
+    n_parts: int,
+    axis_name: str = "rays",
+):
+    """Global nearest hit via ``n_parts`` ring hops (call INSIDE shard_map).
+
+    Each hop tests the resident treelet, merges strictly-closer hits into
+    the carried best record, then rotates (rays + best) one step around the
+    ring; after a full cycle the state is home. Returns
+    (t, normal, mat, hit, fid) for the local rays.
+    """
+    r = orig.shape[0]
+    perm = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+    state = (
+        orig, dirn,
+        jnp.full((r,), INF),
+        jnp.zeros((r, 3)),
+        jnp.zeros((r,), jnp.int32),
+        jnp.full((r,), -1, jnp.int32),
+    )
+
+    def hop(_, st):
+        o, d, t_b, n_b, m_b, f_b = st
+        t, n, mat, fid = _local_first_hit(recs_local[0], o, d)
+        upd = t < t_b
+        st = (
+            o, d,
+            jnp.where(upd, t, t_b),
+            jnp.where(upd[:, None], n, n_b),
+            jnp.where(upd, mat, m_b),
+            jnp.where(upd, fid, f_b),
+        )
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, axis_name, perm), st
+        )
+
+    _, _, t_b, n_b, m_b, f_b = jax.lax.fori_loop(0, n_parts, hop, state)
+    return t_b, n_b, m_b, f_b >= 0, f_b
+
+
+def render_treelet(
+    scene: Scene,
+    camera: Camera,
+    settings: RenderSettings,
+    key: jax.Array,
+    mesh: Mesh,
+    treelets: Optional[TreeletGeom] = None,
+    axis_name: str = "rays",
+    return_stats: bool = False,
+):
+    """Geometry-sharded forward render -> (H, W, 3) film.
+
+    Mirrors ``wavefront.render`` (tile-ordered rays, spp average, clamp)
+    but shards the TRIANGLES over the mesh instead of replicating them:
+    per-bounce nearest-hit queries run as ppermute rings (``ring_first_hit``)
+    through ``trace_radiance``'s ``hit_override`` seam, so shading, PRNG
+    discipline, compaction, and the rays-cast counter are the exact same
+    code as the replicated path. Spheres/planes/materials are replicated
+    (tiny). ``settings.ray_chunk`` is ignored (ray memory per device is
+    already 1/n_devices); NEE is not yet supported here.
+    """
+    n_dev = int(mesh.devices.size)
+    if treelets is None:
+        treelets = build_treelets(scene, n_dev)
+    if treelets.num_parts != n_dev:
+        raise ValueError(
+            f"treelets built for {treelets.num_parts} parts, mesh has {n_dev}"
+        )
+
+    w, h = settings.resolution
+    spp = settings.samples_per_pixel
+    aa_key, bounce_key = jax.random.split(key)
+    orig, dirn = camera_rays(
+        camera, w, h, spp,
+        key=aa_key if settings.anti_aliasing else None,
+        anti_aliasing=settings.anti_aliasing,
+    )
+    orig = to_tile_order(orig, w, h, spp)
+    dirn = to_tile_order(dirn, w, h, spp)
+    n = orig.shape[0]
+    ray_ids = jnp.arange(n, dtype=jnp.int32)
+
+    pad = (-n) % n_dev
+    if pad:
+        orig = jnp.concatenate([orig, jnp.full((pad, 3), 1.0e7, orig.dtype)])
+        dirn = jnp.concatenate(
+            [dirn, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dirn.dtype), (pad, 1))]
+        )
+        ray_ids = jnp.concatenate([ray_ids, n + jnp.arange(pad, dtype=jnp.int32)])
+
+    # the sharded scene: triangles ride as the recs shard; the rest of the
+    # scene (spheres/planes/materials + an EMPTY mesh) is replicated
+    from atray_tpu.scene.data import empty_mesh
+
+    lean = dataclasses.replace(scene, mesh=empty_mesh())
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name)),
+        check_vma=False,
+    )
+    def _run(o, d, ids, recs):
+        def override(o_, d_, alive):
+            o_ = jax.lax.stop_gradient(o_)
+            d_ = jax.lax.stop_gradient(d_)
+            t, nrm, mat, hit, _ = ring_first_hit(
+                recs, o_, d_, n_parts=n_dev, axis_name=axis_name
+            )
+            return t, nrm, mat, hit
+
+        color, stats = trace_radiance(
+            lean, o, d, settings.bounce_limit, key=bounce_key,
+            sort_rays=settings.sort_bounces, nee=False, return_stats=True,
+            ray_ids=ids, hit_override=override,
+        )
+        return color, stats["rays_cast"][None]
+
+    color, rc_shards = _run(orig, dirn, ray_ids, treelets.recs)
+    color = color[:n]
+    color = from_tile_order(color, w, h, spp)
+    film = color.reshape(spp, h, w, 3).mean(axis=0)
+    film = jnp.clip(film, 0.0, 1.0)
+    if return_stats:
+        return film, {
+            "rays_cast": jnp.sum(rc_shards),
+            "rays_cast_per_shard": rc_shards,
+        }
+    return film

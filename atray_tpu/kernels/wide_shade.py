@@ -37,14 +37,15 @@ NOUT = 12
 
 
 def _wide_shade_kernel(
-    rays_hbm,                        # ANY (6, rows, 128)
+    rays_hbm,                        # ANY (7, rows, 128): o, d, alive
     cboxes_ref, clinks_ref, tris_ref,
     out_hbm,                         # ANY (NOUT, rows, 128)
-    rblk_ref,                        # VMEM (6, 2S, 128)
+    rblk_ref,                        # VMEM (7, 2S, 128)
     oblk_ref,                        # VMEM (NOUT, 2S, 128)
     stacks_ref,                      # SMEM (2, stack_cap)
     in_sem, out_sem,
     *, leaf_size: int, rows_per_leaf: int, block_sub: int, num_pairs: int,
+    octant_split: bool,
 ):
     S = block_sub
 
@@ -71,7 +72,12 @@ def _wide_shade_kernel(
         for k in range(2, NOUT):
             oblk_ref[k] = jnp.zeros((2 * S, BLOCK_LANE), jnp.float32)
 
-        def make_block(half: int):
+        def make_block(half: int, mask):
+            """Traversal closures for one half; ``mask`` (S, 128) bool
+            selects the lanes participating in THIS pass (octant-split
+            traversal runs 8 masked passes so each block-wide union only
+            spans same-octant lanes — divergent unions are the incoherent
+            bottleneck)."""
             lo = half * S
             ox = rblk_ref[0, lo : lo + S]
             oy = rblk_ref[1, lo : lo + S]
@@ -109,7 +115,10 @@ def _wide_shade_kernel(
                         jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                         jnp.maximum(tz0, tz1),
                     )
-                    bhit = (t_near <= t_far) & (t_far > 0.0) & (t_near < best_t)
+                    bhit = (
+                        (t_near <= t_far) & (t_far > 0.0)
+                        & (t_near < best_t) & mask
+                    )
                     rm = rm | jnp.where(bhit, jnp.int32(1 << c), 0)
                 m = rm
                 s = m.shape[0]
@@ -172,6 +181,7 @@ def _wide_shade_kernel(
                         & (uu + vv <= 1.0)
                         & (tt > jnp.float32(_T_MIN))
                         & (tt < t_b)
+                        & mask
                     )
                     # interpolated shading normal of this candidate
                     w0 = 1.0 - uu - vv
@@ -220,13 +230,6 @@ def _wide_shade_kernel(
 
             return raymask, leaf_phase
 
-        rmA, leafA = make_block(0)
-        rmB, leafB = make_block(1)
-
-        def wcond(state):
-            spA, spB = state
-            return (spA > 0) | (spB > 0)
-
         def scalar_phase(half, live, sp_popped, mask, node, leaf_fn):
             sp = sp_popped
             for c in range(8):
@@ -246,26 +249,75 @@ def _wide_shade_kernel(
                 sp = sp + is_node.astype(jnp.int32)
             return sp
 
-        def wbody(state):
-            spA, spB = state
-            liveA = spA > 0
-            liveB = spB > 0
-            popA = jnp.maximum(spA - 1, 0)
-            popB = jnp.maximum(spB - 1, 0)
-            nodeA = stacks_ref[0, popA]
-            nodeB = stacks_ref[1, popB]
-            mA_row = rmA(nodeA)
-            mB_row = rmB(nodeB)
-            mA = mA_row[0, 0]
-            mB = mB_row[0, 0]
-            newA = scalar_phase(0, liveA, popA, mA, nodeA, leafA)
-            newB = scalar_phase(1, liveB, popB, mB, nodeB, leafB)
-            return (jnp.where(liveA, newA, spA),
-                    jnp.where(liveB, newB, spB))
+        def run_pass(maskA, maskB):
+            """One interleaved two-block traversal over the lanes selected
+            by maskA/maskB. Halves with no selected lane start with an
+            empty stack (dead-block skip — the wavefront analog of the
+            reference's per-ray early break, renderer.cpp:227-231)."""
+            rmA, leafA = make_block(0, maskA)
+            rmB, leafB = make_block(1, maskB)
 
-        stacks_ref[0, 0] = jnp.int32(0)
-        stacks_ref[1, 0] = jnp.int32(0)
-        jax.lax.while_loop(wcond, wbody, (jnp.int32(1), jnp.int32(1)))
+            def wcond(state):
+                spA, spB = state
+                return (spA > 0) | (spB > 0)
+
+            def wbody(state):
+                spA, spB = state
+                liveA = spA > 0
+                liveB = spB > 0
+                popA = jnp.maximum(spA - 1, 0)
+                popB = jnp.maximum(spB - 1, 0)
+                nodeA = stacks_ref[0, popA]
+                nodeB = stacks_ref[1, popB]
+                mA_row = rmA(nodeA)
+                mB_row = rmB(nodeB)
+                mA = mA_row[0, 0]
+                mB = mB_row[0, 0]
+                newA = scalar_phase(0, liveA, popA, mA, nodeA, leafA)
+                newB = scalar_phase(1, liveB, popB, mB, nodeB, leafB)
+                return (jnp.where(liveA, newA, spA),
+                        jnp.where(liveB, newB, spB))
+
+            stacks_ref[0, 0] = jnp.int32(0)
+            stacks_ref[1, 0] = jnp.int32(0)
+            liveA0 = jnp.max(maskA.astype(jnp.float32)) > 0.0
+            liveB0 = jnp.max(maskB.astype(jnp.float32)) > 0.0
+            jax.lax.while_loop(
+                wcond, wbody,
+                (jnp.where(liveA0, 1, 0).astype(jnp.int32),
+                 jnp.where(liveB0, 1, 0).astype(jnp.int32)),
+            )
+
+        aliveA = rblk_ref[6, 0:S] > 0.0
+        aliveB = rblk_ref[6, S : 2 * S] > 0.0
+        if not octant_split:
+            run_pass(aliveA, aliveB)
+        else:
+            # Octant-partitioned traversal for incoherent (bounce) rays:
+            # 8 masked passes, each union-ing only same-octant lanes. A
+            # block-synchronous walk visits the UNION of its lanes' node
+            # needs; for diffuse bounce rays that union approaches the
+            # whole tree (measured 1.8 M/s at 139k tris vs 53 M/s
+            # coherent). Same-octant lanes share frustum geometry, so
+            # each pass's union stays tight; single-octant blocks (the
+            # coherent case) skip 7 of the 8 passes via the empty-stack
+            # fast path.
+            def octx(half):
+                lo = half * S
+                return (
+                    (rblk_ref[3, lo : lo + S] > 0.0).astype(jnp.int32)
+                    + 2 * (rblk_ref[4, lo : lo + S] > 0.0).astype(jnp.int32)
+                    + 4 * (rblk_ref[5, lo : lo + S] > 0.0).astype(jnp.int32)
+                )
+
+            octA = octx(0)
+            octB = octx(1)
+
+            def opass(k, _):
+                run_pass(aliveA & (octA == k), aliveB & (octB == k))
+                return 0
+
+            jax.lax.fori_loop(0, 8, opass, 0)
 
         copy_out = pltpu.make_async_copy(
             oblk_ref,
@@ -279,26 +331,40 @@ def _wide_shade_kernel(
     jax.lax.fori_loop(0, num_pairs, process_pair, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_sub"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_sub", "octant_split")
+)
 def wide_shade_first_hit(
     swbvh: ShadedWideBVH,
     orig: jnp.ndarray,
     dirn: jnp.ndarray,
+    alive=None,
     interpret: bool = False,
     block_sub: int = 8,
+    octant_split: bool = False,
 ):
     """Fused nearest-hit + shading data.
 
     Returns dict(t, id, normal (R,3), emission (R,3), albedo (R,3),
     scatter (R,)); miss = (INF, -1, zeros...). Pads by replicating the
-    last ray.
+    last ray. ``alive`` (R,) bool marks live paths: blocks whose lanes are
+    all dead skip traversal entirely (their outputs are miss sentinels).
+    ``octant_split=True`` traverses each block in 8 direction-octant masked
+    passes — dramatically faster for incoherent bounce rays, a small
+    constant overhead for coherent primaries (keep it False there).
     """
     n = orig.shape[0]
     block = block_sub * BLOCK_LANE
     pad = (-n) % (2 * block)
+    if alive is None:
+        alive_f = jnp.ones((n,), jnp.float32)
+    else:
+        alive_f = alive.astype(jnp.float32)
     if pad:
         orig = jnp.concatenate([orig, jnp.tile(orig[-1:], (pad, 1))], axis=0)
         dirn = jnp.concatenate([dirn, jnp.tile(dirn[-1:], (pad, 1))], axis=0)
+        # pad lanes are dead: a trailing all-pad block skips traversal
+        alive_f = jnp.concatenate([alive_f, jnp.zeros((pad,), jnp.float32)])
     total = orig.shape[0]
     rows = total // BLOCK_LANE
     num_pairs = total // (2 * block)
@@ -311,6 +377,7 @@ def wide_shade_first_hit(
             dirn[:, 0].reshape(rows, BLOCK_LANE),
             dirn[:, 1].reshape(rows, BLOCK_LANE),
             dirn[:, 2].reshape(rows, BLOCK_LANE),
+            alive_f.reshape(rows, BLOCK_LANE),
         ]
     )
 
@@ -322,6 +389,7 @@ def wide_shade_first_hit(
             rows_per_leaf=swbvh.rows_per_leaf,
             block_sub=block_sub,
             num_pairs=num_pairs,
+            octant_split=octant_split,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -332,7 +400,7 @@ def wide_shade_first_hit(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((NOUT, rows, BLOCK_LANE), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((6, 2 * block_sub, BLOCK_LANE), jnp.float32),
+            pltpu.VMEM((7, 2 * block_sub, BLOCK_LANE), jnp.float32),
             pltpu.VMEM((NOUT, 2 * block_sub, BLOCK_LANE), jnp.float32),
             pltpu.SMEM((2, stack_cap), jnp.int32),
             pltpu.SemaphoreType.DMA(()),

@@ -287,7 +287,9 @@ def resolve_hit(
     return t, normal, jnp.where(hit, mat, 0), hit
 
 
-def make_fused_hit_shade(accel, interpret: bool) -> Callable:
+def make_fused_hit_shade(
+    accel, interpret: bool, octant_split: bool = False
+) -> Callable:
     """Build the fused hit+shade primitive for a ShadedWideBVH: a
     ``jax.custom_vjp`` whose FORWARD is the gather-free Pallas kernel
     (kernels/wide_shade.py — traversal returns t, face id, interpolated
@@ -309,24 +311,26 @@ def make_fused_hit_shade(accel, interpret: bool) -> Callable:
     from atray_tpu.kernels.wide_shade import wide_shade_first_hit
 
     @jax.custom_vjp
-    def fused(scene, o, d):
+    def fused(scene, o, d, alive_f):
         fo = wide_shade_first_hit(
             accel,
             jax.lax.stop_gradient(o),
             jax.lax.stop_gradient(d),
+            alive=jax.lax.stop_gradient(alive_f),
             interpret=interpret,
+            octant_split=octant_split,
         )
         return (
             fo["t"], fo["normal"], fo["emission"], fo["albedo"],
             fo["scatter"], fo["id"],
         )
 
-    def fwd(scene, o, d):
-        out = fused(scene, o, d)
-        return out, (scene, o, d, out[5])
+    def fwd(scene, o, d, alive_f):
+        out = fused(scene, o, d, alive_f)
+        return out, (scene, o, d, alive_f, out[5])
 
     def bwd(res, cts):
-        scene, o, d, fid = res
+        scene, o, d, alive_f, fid = res
         ct_t, ct_n, ct_em, ct_al, ct_sc, _ = cts
         hit = fid >= 0
         nf = scene.mesh.num_faces
@@ -366,7 +370,7 @@ def make_fused_hit_shade(accel, interpret: bool) -> Callable:
             jnp.where(hit, ct_sc, 0.0),
         )
         _, vjp_fn = jax.vjp(replay, scene, o, d)
-        return vjp_fn(cot)
+        return (*vjp_fn(cot), jnp.zeros_like(alive_f))
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -434,7 +438,8 @@ def _split_accel(accel):
     (coherent film tiles) uses the wide/persistent kernel, later bounces
     (scattered directions) the exact-culling packet kernel. A plain
     WideBVH("exact") pairs with its interleaved twin for bounces. The
-    ShadedWideBVH fused kernel serves both phases (one Mosaic program).
+    ShadedWideBVH fused kernel serves both phases (one Mosaic program, no
+    peel; its octant-split variant measured slower on real bounce rays).
     """
     from atray_tpu.accel.wide import HybridAccel, WideBVH
 
@@ -458,6 +463,7 @@ def trace_radiance(
     return_stats: bool = False,
     ray_ids: Optional[jnp.ndarray] = None,    # (R,) global ids for PRNG
     remat: bool = True,
+    hit_override: Optional[Callable] = None,
 ):
     """Path-trace each ray to its radiance (R, 3).
 
@@ -488,6 +494,13 @@ def trace_radiance(
     - hit  -> attenuation = dot(-d, n), but 0 if the normal had to be
       flipped (backface) — reference renderer.cpp:233-238;
       color += weight * emission[m]; weight *= albedo[m] * attenuation.
+
+    ``hit_override`` replaces the TRIANGLE-class nearest-hit query:
+    ``hit_override(o, d, alive) -> (t, normal, material_id, hit)`` — used
+    by the treelet (geometry-sharded) path, dist/treelet.py, whose query is
+    a ppermute ring over per-device sub-BVHs. Spheres/planes are still
+    merged here (they are replicated — tiny). NEE is not supported with an
+    override (its occlusion query would need its own ring).
     """
     r = orig.shape[0]
     if uniforms is None and key is None:
@@ -511,6 +524,10 @@ def trace_radiance(
     face_table = build_face_table(scene)
 
     nee_active = nee and scene.spheres.count > 0
+    if hit_override is not None and nee_active:
+        raise NotImplementedError(
+            "NEE needs an occlusion ring; not yet supported with hit_override"
+        )
     nchan = 6 if nee_active else 3
 
     from atray_tpu.accel.shaded import ShadedWideBVH
@@ -518,10 +535,13 @@ def trace_radiance(
     interpret = _pallas_interpret()
     _fused_cache = {}
 
-    def _fused_for(accel_):
-        if id(accel_) not in _fused_cache:
-            _fused_cache[id(accel_)] = make_fused_hit_shade(accel_, interpret)
-        return _fused_cache[id(accel_)]
+    def _fused_for(accel_, split=False):
+        k = (id(accel_), split)
+        if k not in _fused_cache:
+            _fused_cache[k] = make_fused_hit_shade(
+                accel_, interpret, octant_split=split
+            )
+        return _fused_cache[k]
 
     def _onehot_rows(idx, table):
         """Gather-free row pickup for SMALL tables: one-hot (R, K) matmul
@@ -530,68 +550,28 @@ def trace_radiance(
         oh = (idx[:, None] == jnp.arange(k)[None, :]).astype(table.dtype)
         return oh @ table
 
-    def _hit_inputs(o, d, accel_):
+    def _hit_inputs(o, d, alive, accel_, split=False):
         """(t, n, hit, em_ray, al_ray, sc_ray, aux) for the nearest hit.
 
         Standard path: discrete ids + differentiable resolve + material
         gathers. Fused path (ShadedWideBVH): one custom-VJP kernel call
         returns normal and material constants — zero per-ray gathers in
         the forward; sphere/plane lanes are patched in with one-hot
-        matmuls. ``aux`` carries (sphere_mask, sphere_id) for NEE
+        matmuls. ``alive`` lets the kernel skip fully-terminated ray
+        blocks. ``aux`` carries (sphere_mask, sphere_id) for NEE
         occlusion tests.
         """
+        if hit_override is not None:
+            t, n, mat, hit = hit_override(o, d, alive)
+            return _patch_spheres_planes(
+                o, d, t, n, hit, em[mat], al[mat], sc[mat]
+            )
         if isinstance(accel_, ShadedWideBVH):
-            t, n, em_ray, al_ray, sc_ray, fid = _fused_for(accel_)(
-                scene, o, d
+            t, n, em_ray, al_ray, sc_ray, fid = _fused_for(accel_, split)(
+                scene, o, d, alive.astype(jnp.float32)
             )
             hit = fid >= 0
-            sph_mask = jnp.zeros((r,), bool)
-            sph_id = jnp.full((r,), -1, jnp.int32)
-            if scene.spheres.count > 0:
-                ts, sid = sphere_hits(
-                    o, d, scene.spheres.centers, scene.spheres.radii
-                )
-                closer = ts < t
-                # miss lanes carry ts = INF; zero them before building the
-                # hit point or the INF reaches normalize's VJP as a NaN
-                # partial (NaN * zero-cotangent still poisons reverse mode)
-                ts_safe = jnp.where(ts < 1.0e30, ts, 0.0)
-                p = o + ts_safe[:, None] * d
-                c_rows = _onehot_rows(sid, scene.spheres.centers)
-                n_s = normalize(p - c_rows)
-                mat_s = _onehot_rows(
-                    sid, scene.spheres.material_id[:, None].astype(jnp.float32)
-                )[:, 0].astype(jnp.int32)
-                t = jnp.where(closer, ts, t)
-                n = jnp.where(closer[:, None], n_s, n)
-                em_ray = jnp.where(closer[:, None], _onehot_rows(mat_s, em), em_ray)
-                al_ray = jnp.where(closer[:, None], _onehot_rows(mat_s, al), al_ray)
-                sc_ray = jnp.where(
-                    closer, _onehot_rows(mat_s, sc[:, None])[:, 0], sc_ray
-                )
-                hit = hit | (closer & (sid >= 0))
-                sph_mask = closer & (sid >= 0)
-                sph_id = jnp.where(sph_mask, sid, -1)
-            if scene.planes.count > 0:
-                tp, pid = plane_hits(
-                    o, d, scene.planes.normals, scene.planes.offsets
-                )
-                closer = tp < t
-                n_p = _onehot_rows(pid, scene.planes.normals)
-                mat_p = _onehot_rows(
-                    pid, scene.planes.material_id[:, None].astype(jnp.float32)
-                )[:, 0].astype(jnp.int32)
-                t = jnp.where(closer, tp, t)
-                n = jnp.where(closer[:, None], n_p, n)
-                em_ray = jnp.where(closer[:, None], _onehot_rows(mat_p, em), em_ray)
-                al_ray = jnp.where(closer[:, None], _onehot_rows(mat_p, al), al_ray)
-                sc_ray = jnp.where(
-                    closer, _onehot_rows(mat_p, sc[:, None])[:, 0], sc_ray
-                )
-                hit = hit | (closer & (pid >= 0))
-                sph_mask = sph_mask & ~closer
-                sph_id = jnp.where(sph_mask, sph_id, -1)
-            return t, n, hit, em_ray, al_ray, sc_ray, (sph_mask, sph_id)
+            return _patch_spheres_planes(o, d, t, n, hit, em_ray, al_ray, sc_ray)
 
         ids = nearest_hit_ids(scene, o, d, accel=accel_)
         t, n, mat, hit = resolve_hit(scene, o, d, ids, face_table=face_table)
@@ -601,7 +581,59 @@ def trace_radiance(
             (sph_mask, jnp.where(sph_mask, ids.prim_id, -1)),
         )
 
-    def _occlusion(o, d, accel_, dist, lid):
+    def _patch_spheres_planes(o, d, t, n, hit, em_ray, al_ray, sc_ray):
+        """Merge the (replicated, tiny) sphere/plane classes into a
+        triangle-class nearest hit — shared by the fused-kernel and
+        hit_override paths. Returns the full ``_hit_inputs`` tuple."""
+        sph_mask = jnp.zeros((r,), bool)
+        sph_id = jnp.full((r,), -1, jnp.int32)
+        if scene.spheres.count > 0:
+            ts, sid = sphere_hits(
+                o, d, scene.spheres.centers, scene.spheres.radii
+            )
+            closer = ts < t
+            # miss lanes carry ts = INF; zero them before building the
+            # hit point or the INF reaches normalize's VJP as a NaN
+            # partial (NaN * zero-cotangent still poisons reverse mode)
+            ts_safe = jnp.where(ts < 1.0e30, ts, 0.0)
+            p = o + ts_safe[:, None] * d
+            c_rows = _onehot_rows(sid, scene.spheres.centers)
+            n_s = normalize(p - c_rows)
+            mat_s = _onehot_rows(
+                sid, scene.spheres.material_id[:, None].astype(jnp.float32)
+            )[:, 0].astype(jnp.int32)
+            t = jnp.where(closer, ts, t)
+            n = jnp.where(closer[:, None], n_s, n)
+            em_ray = jnp.where(closer[:, None], _onehot_rows(mat_s, em), em_ray)
+            al_ray = jnp.where(closer[:, None], _onehot_rows(mat_s, al), al_ray)
+            sc_ray = jnp.where(
+                closer, _onehot_rows(mat_s, sc[:, None])[:, 0], sc_ray
+            )
+            hit = hit | (closer & (sid >= 0))
+            sph_mask = closer & (sid >= 0)
+            sph_id = jnp.where(sph_mask, sid, -1)
+        if scene.planes.count > 0:
+            tp, pid = plane_hits(
+                o, d, scene.planes.normals, scene.planes.offsets
+            )
+            closer = tp < t
+            n_p = _onehot_rows(pid, scene.planes.normals)
+            mat_p = _onehot_rows(
+                pid, scene.planes.material_id[:, None].astype(jnp.float32)
+            )[:, 0].astype(jnp.int32)
+            t = jnp.where(closer, tp, t)
+            n = jnp.where(closer[:, None], n_p, n)
+            em_ray = jnp.where(closer[:, None], _onehot_rows(mat_p, em), em_ray)
+            al_ray = jnp.where(closer[:, None], _onehot_rows(mat_p, al), al_ray)
+            sc_ray = jnp.where(
+                closer, _onehot_rows(mat_p, sc[:, None])[:, 0], sc_ray
+            )
+            hit = hit | (closer & (pid >= 0))
+            sph_mask = sph_mask & ~closer
+            sph_id = jnp.where(sph_mask, sph_id, -1)
+        return t, n, hit, em_ray, al_ray, sc_ray, (sph_mask, sph_id)
+
+    def _occlusion(o, d, accel_, dist, lid, live, split=False):
         """True where something other than the picked light blocks the
         shadow ray before ``dist``. Purely discrete — all inputs detached
         (visibility carries no gradient by convention)."""
@@ -611,7 +643,10 @@ def trace_radiance(
         if isinstance(accel_, ShadedWideBVH):
             from atray_tpu.kernels.wide_shade import wide_shade_first_hit
 
-            t = wide_shade_first_hit(accel_, o, d, interpret=interpret)["t"]
+            t = wide_shade_first_hit(
+                accel_, o, d, alive=live, interpret=interpret,
+                octant_split=split,
+            )["t"]
             is_light = jnp.zeros_like(lid, dtype=bool)
             if scene.spheres.count > 0:
                 ts, sid = sphere_hits(
@@ -651,9 +686,11 @@ def trace_radiance(
         key_ = (octant << 15) | (cell[:, 0] << 10) | (cell[:, 1] << 5) | cell[:, 2]
         return jnp.where(alive, key_, jnp.int32(1) << 30)
 
-    def bounce_step(state, b, accel_):
+    def bounce_step(state, b, accel_, split=False):
         """One wavefront bounce. ``b`` may be a static int (peeled primary)
-        or a traced scan index."""
+        or a traced scan index. ``split`` selects the octant-partitioned
+        kernel variant (right for incoherent bounce rays, overhead for
+        coherent primaries)."""
         o, d, weight, color, alive, gid, rc = state
         if uniforms is not None:
             uni = uniforms[b][gid - gid0]
@@ -664,7 +701,9 @@ def trace_radiance(
         # 465-468) — here a reduction, not an atomic.
         rc = rc + jnp.sum(alive.astype(jnp.float32))
 
-        t, n, hit, em_ray, al_ray, sc_ray, _aux = _hit_inputs(o, d, accel_)
+        t, n, hit, em_ray, al_ray, sc_ray, _aux = _hit_inputs(
+            o, d, alive, accel_, split
+        )
 
         miss_now = alive & ~hit
         color = color + jnp.where(miss_now[:, None], weight * sky, 0.0)
@@ -711,7 +750,7 @@ def trace_radiance(
             # surface); dead lanes get parked rays
             so = jnp.where(live_hit[:, None], hit_p, 1.0e7)
             sd = jnp.where(live_hit[:, None], ldir, jnp.asarray([0.0, 0.0, 1.0]))
-            occluded = _occlusion(so, sd, accel_, dist, lid)
+            occluded = _occlusion(so, sd, accel_, dist, lid, live_hit, split)
             geom = (lr * lr) / jnp.maximum(dist * dist, lr * lr)
             direct = (
                 weight
@@ -732,12 +771,15 @@ def trace_radiance(
         d = jnp.where(live_hit[:, None], new_d, d)
         alive = live_hit
 
+        # park dead rays far outside the scene: they stop contributing to
+        # their block's traversal union (a stale dead ray re-walks its old
+        # path, widening the union every live lane must wait for), and
+        # all-dead blocks skip traversal entirely via the alive plane
+        o = jnp.where(alive[:, None], o, 1.0e7)
+        d = jnp.where(alive[:, None], d, jnp.asarray([0.0, 0.0, 1.0]))
+
         if sort_rays:
             perm = jnp.argsort(sort_key(o, d, alive))
-            # park dead rays far outside the scene so all-dead packet
-            # blocks reject at the BVH root in one step
-            o = jnp.where(alive[:, None], o, 1.0e7)
-            d = jnp.where(alive[:, None], d, jnp.asarray([0.0, 0.0, 1.0]))
             o, d, weight, color, alive, gid = (
                 o[perm], d[perm], weight[perm], color[perm], alive[perm],
                 gid[perm],
@@ -754,8 +796,13 @@ def trace_radiance(
         jnp.float32(0.0),
     )
 
+    # octant_split measured SLOWER on real bounce rays (10.7 vs 16.8 M
+    # work-rays/s, 139k tris, v5e): the 8 masked passes re-walk the top of
+    # the tree per octant and the per-pass machinery outweighs the
+    # narrower unions. Kept available on the kernel for future use; the
+    # scan uses the single-pass variant.
     def scan_body(carry, b):
-        return bounce_step(carry, b, bounce_accel), None
+        return bounce_step(carry, b, bounce_accel, split=False), None
 
     if remat:
         scan_body = jax.checkpoint(scan_body)

@@ -1,0 +1,120 @@
+"""Treelet (geometry-sharded) path: ppermute ring over per-device treelets
+(SURVEY.md §5.7 scale-out / §5.8 ICI plan; dist/treelet.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from atray_tpu.config import RenderSettings
+from atray_tpu.core.camera import look_at_camera
+from atray_tpu.core.intersect import first_triangle_hit
+from atray_tpu.dist.mesh import make_device_mesh
+from atray_tpu.dist.treelet import (
+    build_treelets,
+    partition_faces,
+    render_treelet,
+    ring_first_hit,
+)
+from atray_tpu.render.wavefront import render
+from atray_tpu.scene import build_scene, procedural
+from atray_tpu.scene.data import make_materials
+from atray_tpu.scene.transforms import translate
+
+MATS = make_materials([
+    ((0.35, 0.45, 0.65), (0.0, 0.0, 0.0), 0.0),
+    ((0.0, 0.0, 0.0), (0.8, 0.5, 0.3), 0.2),
+])
+
+
+def _scene(rows=12, cols=12):
+    mesh = translate(
+        procedural.uv_sphere(rows=rows, cols=cols, material=1, smooth=True),
+        (0, 0, -4),
+    )
+    return build_scene([mesh], materials=MATS)
+
+
+def test_partition_is_balanced_and_exact():
+    scene = _scene()
+    v = np.asarray(scene.mesh.vertices)
+    f = np.asarray(scene.mesh.faces)
+    parts = partition_faces(v, f, 8)
+    sizes = [len(p) for p in parts]
+    assert max(sizes) - min(sizes) <= 1
+    allidx = np.sort(np.concatenate(parts))
+    np.testing.assert_array_equal(allidx, np.arange(f.shape[0]))
+
+
+def test_ring_first_hit_matches_brute_force(devices, rng):
+    scene = _scene()
+    mesh = make_device_mesh()
+    n_dev = mesh.devices.size
+    treelets = build_treelets(scene, n_dev)
+
+    r = 8 * n_dev
+    orig = jnp.asarray(rng.normal(0, 0.3, (r, 3)), jnp.float32) + jnp.asarray(
+        [0.0, 0.0, 0.5]
+    )
+    dirn = jnp.asarray(rng.normal(size=(r, 3)), jnp.float32)
+    dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
+    # aim half the rays at the mesh so hits occur
+    aim = jnp.asarray([0.0, 0.0, -4.0]) - orig[: r // 2]
+    dirn = dirn.at[: r // 2].set(aim / jnp.linalg.norm(aim, axis=1, keepdims=True))
+
+    from functools import partial
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("rays"), P("rays"), P("rays")),
+        out_specs=(P("rays"), P("rays"), P("rays"), P("rays")),
+        check_vma=False,
+    )
+    def run(o, d, recs):
+        t, n, mat, hit, fid = ring_first_hit(recs, o, d, n_parts=n_dev)
+        return t, n, mat, fid
+
+    t, n, mat, fid = run(orig, dirn, treelets.recs)
+
+    p0, e1, e2 = scene.triangle_soa()
+    t_ref, _, _, tid_ref = first_triangle_hit(orig, dirn, p0, e1, e2)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fid), np.asarray(tid_ref))
+    assert int(np.sum(np.asarray(fid) >= 0)) > r // 4
+
+
+def test_treelet_render_matches_single_device(devices):
+    # geometry sharded 8 ways + ppermute ring == replicated single-device
+    # render (same PRNG: key = f(global ray id, bounce))
+    scene = _scene()
+    cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    s = RenderSettings(resolution=(16, 16), samples_per_pixel=2, bounce_limit=3)
+    mesh = make_device_mesh()
+    film_tl = render_treelet(scene, cam, s, jax.random.PRNGKey(0), mesh)
+    film_lo = render(scene, cam, s, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(film_tl), np.asarray(film_lo), atol=1e-5
+    )
+    assert np.asarray(film_lo).std() > 0.01
+
+
+def test_treelet_render_with_compaction_and_stats(devices):
+    scene = _scene()
+    cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    s = RenderSettings(
+        resolution=(16, 16), samples_per_pixel=1, bounce_limit=2,
+        sort_bounces=True,
+    )
+    mesh = make_device_mesh()
+    film, stats = render_treelet(
+        scene, cam, s, jax.random.PRNGKey(1), mesh, return_stats=True
+    )
+    s0 = RenderSettings(
+        resolution=(16, 16), samples_per_pixel=1, bounce_limit=2
+    )
+    film_ref = render(scene, cam, s0, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        np.asarray(film), np.asarray(film_ref), atol=1e-5
+    )
+    assert stats["rays_cast_per_shard"].shape == (8,)
+    assert float(stats["rays_cast"]) >= 16 * 16  # every primary counted
