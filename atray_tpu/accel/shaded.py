@@ -50,6 +50,8 @@ class ShadedWideBVH:
     leaf_size: int = dataclasses.field(metadata=dict(static=True))
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
     max_depth: int = dataclasses.field(metadata=dict(static=True))
+    # child sort axis per node (1, W) i32 — see accel.wide.WideBVH.caxis
+    caxis: jnp.ndarray = None
 
     @property
     def rows_per_leaf(self) -> int:
@@ -140,4 +142,5 @@ def build_shaded_accel(
         leaf_size=ls,
         num_nodes=wide.num_nodes,
         max_depth=wide.max_depth,
+        caxis=wide.caxis,
     )

@@ -54,6 +54,12 @@ class WideBVH:
     # coherent) or "exact2" (two-block interleaved, ~25% faster on
     # incoherent bounce rays). The renderer picks per bounce phase.
     variant: str = dataclasses.field(default="exact", metadata=dict(static=True))
+    # per-node child sort axis (1, W) i32: children are stored sorted by
+    # centroid ASCENDING along this axis, so a traversal kernel can pop
+    # near children first (push far-to-near from the ray direction's
+    # sign) — fewer leaf visits once best_t tightens (Embree-style
+    # ordered traversal, approximated by one axis per node).
+    caxis: jnp.ndarray = None        # i32 (1, W)
     # refit support (optional): original face index per leaf slot and the
     # vertex array the tables were built from — see ``refit_wide``.
     slot_face: jnp.ndarray = None    # i32 (slots,); -1 = pad slot
@@ -145,8 +151,17 @@ def build_wide_bvh(bvh: BVH, tris_packed: jnp.ndarray) -> WideBVH:
         cboxes[:, 8 * f : 8 * f + 8] = 3.0e38
         cboxes[:, 8 * (f + 3) : 8 * (f + 3) + 8] = -3.0e38
     clinks = np.full((WIDTH, nw), EMPTY, np.int32)
+    caxis = np.zeros((1, nw), np.int32)
     depth = np.zeros(nw, np.int64)
     for wnode, cut in enumerate(wide_children):
+        # ordered-traversal support: sort the children by centroid along
+        # the axis of max centroid spread (ascending) and record that axis
+        # so the kernel can pop near-first from the ray direction's sign
+        cents = np.array([(nmin[e[2]] + nmax[e[2]]) * 0.5 for e in cut])
+        if len(cut) > 1:
+            axis = int(np.argmax(cents.max(axis=0) - cents.min(axis=0)))
+            cut = [cut[j] for j in np.argsort(cents[:, axis], kind="stable")]
+            caxis[0, wnode] = axis
         for c, entry in enumerate(cut):
             kind, idx, nb = entry
             for f in range(3):
@@ -176,6 +191,7 @@ def build_wide_bvh(bvh: BVH, tris_packed: jnp.ndarray) -> WideBVH:
         leaf_size=ls,
         num_nodes=nw,
         max_depth=int(depth.max()),
+        caxis=jnp.asarray(caxis),
     )
 
 

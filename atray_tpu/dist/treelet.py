@@ -22,7 +22,8 @@ treelet is tested first — ties between equal-t hits may break differently).
 
 The per-hop local query here is the brute-force Möller–Trumbore batch
 (core/intersect.py) over the treelet's padded record table — the oracle
-path. Visibility is forward-only (records detached); gradients for
+path. NEE shadow rays ride a second, leaner ring (``ring_occlusion_t``).
+Visibility is forward-only (records detached); gradients for
 treelet-scale scenes would come from replaying hits against sharded
 parameters, a future round.
 """
@@ -133,6 +134,44 @@ def _local_first_hit(recs: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray):
     return t_b, jnp.where(found[:, None], n, 0.0), mat, fid
 
 
+def _local_min_t(recs: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray):
+    """Nearest-hit distance only (shadow-ray query) vs ONE treelet: (R,).
+    Leaner than ``_local_first_hit`` — no normal interpolation, no record
+    pickup; occlusion needs just t."""
+    p0, e1, e2 = recs[:, 0:3], recs[:, 3:6], recs[:, 6:9]
+    t, _, _, _ = moller_trumbore(
+        o[:, None, :], d[:, None, :], p0[None], e1[None], e2[None]
+    )
+    return jnp.min(t, axis=1)
+
+
+def ring_occlusion_t(
+    recs_local: jnp.ndarray,   # (1, Tpad, 20) — THIS device's treelet
+    orig: jnp.ndarray,         # (R, 3) shadow rays
+    dirn: jnp.ndarray,
+    n_parts: int,
+    axis_name: str = "rays",
+):
+    """Triangle-class nearest t via ``n_parts`` ring hops (inside
+    shard_map) — the shadow-ray companion of ``ring_first_hit``; plugs
+    into ``trace_radiance``'s ``occl_override`` seam so NEE works with
+    geometry sharding."""
+    r = orig.shape[0]
+    perm = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+
+    def hop(_, st):
+        o, d, t_b = st
+        t_b = jnp.minimum(t_b, _local_min_t(recs_local[0], o, d))
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, axis_name, perm), (o, d, t_b)
+        )
+
+    _, _, t_b = jax.lax.fori_loop(
+        0, n_parts, hop, (orig, dirn, jnp.full((r,), INF))
+    )
+    return t_b
+
+
 def ring_first_hit(
     recs_local: jnp.ndarray,   # (1, Tpad, 20) — THIS device's treelet
     orig: jnp.ndarray,         # (R, 3) local ray block
@@ -195,7 +234,8 @@ def render_treelet(
     discipline, compaction, and the rays-cast counter are the exact same
     code as the replicated path. Spheres/planes/materials are replicated
     (tiny). ``settings.ray_chunk`` is ignored (ray memory per device is
-    already 1/n_devices); NEE is not yet supported here.
+    already 1/n_devices). NEE runs its shadow rays through a second, leaner
+    ring (``ring_occlusion_t``).
     """
     n_dev = int(mesh.devices.size)
     if treelets is None:
@@ -248,10 +288,16 @@ def render_treelet(
             )
             return t, nrm, mat, hit
 
+        def occl(o_, d_, live):
+            return ring_occlusion_t(
+                recs, o_, d_, n_parts=n_dev, axis_name=axis_name
+            )
+
         color, stats = trace_radiance(
             lean, o, d, settings.bounce_limit, key=bounce_key,
-            sort_rays=settings.sort_bounces, nee=False, return_stats=True,
-            ray_ids=ids, hit_override=override,
+            sort_rays=settings.sort_bounces, nee=settings.nee,
+            return_stats=True, ray_ids=ids, hit_override=override,
+            occl_override=occl,
         )
         return color, stats["rays_cast"][None]
 

@@ -38,7 +38,7 @@ NOUT = 12
 
 def _wide_shade_kernel(
     rays_hbm,                        # ANY (7, rows, 128): o, d, alive
-    cboxes_ref, clinks_ref, tris_ref,
+    cboxes_ref, clinks_ref, caxis_ref, tris_ref,
     out_hbm,                         # ANY (NOUT, rows, 128)
     rblk_ref,                        # VMEM (7, 2S, 128)
     oblk_ref,                        # VMEM (NOUT, 2S, 128)
@@ -230,11 +230,19 @@ def _wide_shade_kernel(
 
             return raymask, leaf_phase
 
-        def scalar_phase(half, live, sp_popped, mask, node, leaf_fn):
+        def scalar_phase(half, live, sp_popped, mask, node, leaf_fn, desc):
+            """Ordered push: children are build-sorted by centroid
+            ascending along ``caxis[node]``; ``desc`` (i32 0/1) is 1 when
+            the block's dominant direction is positive along that axis,
+            so iterating 7..0 pushes far children first and the stack
+            pops near-first — best_t tightens early and far subtrees
+            prune (Embree-style ordered traversal, one axis per node)."""
             sp = sp_popped
-            for c in range(8):
+            d7 = desc * 7   # desc in {0,1}: 7-cc == cc ^ 7 for 3-bit cc
+            for cc in range(8):
+                c = cc ^ d7
                 link = clinks_ref[c, node]
-                hit_c = live & ((mask // (2 ** c)) % 2 == 1)
+                hit_c = live & (((mask >> c) & 1) == 1)
                 is_node = hit_c & (link >= 0)
                 is_leaf = hit_c & (link < 0) & (link > -2147483647)
 
@@ -257,6 +265,27 @@ def _wide_shade_kernel(
             rmA, leafA = make_block(0, maskA)
             rmB, leafB = make_block(1, maskB)
 
+            def dir_signs(half, mask):
+                """(sx, sy, sz) i32 0/1: sign of the block's mean live
+                direction per axis — picks the near-first child order."""
+                lo = half * S
+                out = []
+                for ax in range(3):
+                    s = jnp.sum(
+                        jnp.where(mask, rblk_ref[3 + ax, lo : lo + S], 0.0)
+                    )
+                    out.append((s > 0.0).astype(jnp.int32))
+                return out
+
+            sgnA = dir_signs(0, maskA)
+            sgnB = dir_signs(1, maskB)
+
+            def desc_of(node, sgn):
+                axis = caxis_ref[0, node]
+                return jnp.where(
+                    axis == 0, sgn[0], jnp.where(axis == 1, sgn[1], sgn[2])
+                )
+
             def wcond(state):
                 spA, spB = state
                 return (spA > 0) | (spB > 0)
@@ -273,8 +302,10 @@ def _wide_shade_kernel(
                 mB_row = rmB(nodeB)
                 mA = mA_row[0, 0]
                 mB = mB_row[0, 0]
-                newA = scalar_phase(0, liveA, popA, mA, nodeA, leafA)
-                newB = scalar_phase(1, liveB, popB, mB, nodeB, leafB)
+                newA = scalar_phase(0, liveA, popA, mA, nodeA, leafA,
+                                    desc_of(nodeA, sgnA))
+                newB = scalar_phase(1, liveB, popB, mB, nodeB, leafB,
+                                    desc_of(nodeB, sgnB))
                 return (jnp.where(liveA, newA, spA),
                         jnp.where(liveB, newB, spB))
 
@@ -381,6 +412,12 @@ def wide_shade_first_hit(
         ]
     )
 
+    # accels built before ordered traversal carry no child sort axis;
+    # zeros give an arbitrary (still correct) pop order for them
+    caxis = swbvh.caxis
+    if caxis is None:
+        caxis = jnp.zeros((1, swbvh.num_nodes), jnp.int32)
+
     stack_cap = max(STACK_CAP, 8 * (swbvh.max_depth + 2))
     out = pl.pallas_call(
         functools.partial(
@@ -394,6 +431,7 @@ def wide_shade_first_hit(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -413,7 +451,7 @@ def wide_shade_first_hit(
             # (16 MiB) rejects large resident BVH/triangle tables
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
-    )(rays, swbvh.cboxes, swbvh.clinks, swbvh.tris)
+    )(rays, swbvh.cboxes, swbvh.clinks, caxis, swbvh.tris)
 
     def flat(k):
         return out[k].reshape(-1)[:n]

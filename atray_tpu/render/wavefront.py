@@ -464,6 +464,7 @@ def trace_radiance(
     ray_ids: Optional[jnp.ndarray] = None,    # (R,) global ids for PRNG
     remat: bool = True,
     hit_override: Optional[Callable] = None,
+    occl_override: Optional[Callable] = None,
 ):
     """Path-trace each ray to its radiance (R, 3).
 
@@ -499,8 +500,9 @@ def trace_radiance(
     ``hit_override(o, d, alive) -> (t, normal, material_id, hit)`` — used
     by the treelet (geometry-sharded) path, dist/treelet.py, whose query is
     a ppermute ring over per-device sub-BVHs. Spheres/planes are still
-    merged here (they are replicated — tiny). NEE is not supported with an
-    override (its occlusion query would need its own ring).
+    merged here (they are replicated — tiny). NEE additionally needs
+    ``occl_override(o, d, live) -> t`` (triangle-class nearest t of the
+    shadow rays — the treelet path's leaner second ring).
     """
     r = orig.shape[0]
     if uniforms is None and key is None:
@@ -524,9 +526,10 @@ def trace_radiance(
     face_table = build_face_table(scene)
 
     nee_active = nee and scene.spheres.count > 0
-    if hit_override is not None and nee_active:
+    if hit_override is not None and nee_active and occl_override is None:
         raise NotImplementedError(
-            "NEE needs an occlusion ring; not yet supported with hit_override"
+            "NEE with hit_override needs an occl_override occlusion query "
+            "(the treelet path passes its shadow-ray ppermute ring)"
         )
     nchan = 6 if nee_active else 3
 
@@ -633,6 +636,25 @@ def trace_radiance(
             sph_id = jnp.where(sph_mask, sph_id, -1)
         return t, n, hit, em_ray, al_ray, sc_ray, (sph_mask, sph_id)
 
+    def _merge_light_check(t, o, d, dist, lid):
+        """Given the triangle-class nearest t of the shadow rays, fold in
+        the (replicated) sphere/plane classes and decide occlusion: blocked
+        by anything nearer than ``dist`` that is not the picked light."""
+        is_light = jnp.zeros_like(lid, dtype=bool)
+        if scene.spheres.count > 0:
+            ts, sid = sphere_hits(
+                o, d, scene.spheres.centers, scene.spheres.radii
+            )
+            is_light = (ts < t) & (sid == lid)
+            t = jnp.minimum(t, ts)
+        if scene.planes.count > 0:
+            tp, _ = plane_hits(
+                o, d, scene.planes.normals, scene.planes.offsets
+            )
+            is_light = is_light & ~(tp < t)
+            t = jnp.minimum(t, tp)
+        return (t < dist - 1.0e-3) & (~is_light)
+
     def _occlusion(o, d, accel_, dist, lid, live, split=False):
         """True where something other than the picked light blocks the
         shadow ray before ``dist``. Purely discrete — all inputs detached
@@ -640,6 +662,12 @@ def trace_radiance(
         o = jax.lax.stop_gradient(o)
         d = jax.lax.stop_gradient(d)
         dist = jax.lax.stop_gradient(dist)
+        if occl_override is not None:
+            # triangle-class nearest t from the caller's query (the treelet
+            # path runs a second, leaner ppermute ring for shadow rays)
+            return _merge_light_check(
+                occl_override(o, d, live), o, d, dist, lid
+            )
         if isinstance(accel_, ShadedWideBVH):
             from atray_tpu.kernels.wide_shade import wide_shade_first_hit
 
@@ -647,20 +675,7 @@ def trace_radiance(
                 accel_, o, d, alive=live, interpret=interpret,
                 octant_split=split,
             )["t"]
-            is_light = jnp.zeros_like(lid, dtype=bool)
-            if scene.spheres.count > 0:
-                ts, sid = sphere_hits(
-                    o, d, scene.spheres.centers, scene.spheres.radii
-                )
-                is_light = (ts < t) & (sid == lid)
-                t = jnp.minimum(t, ts)
-            if scene.planes.count > 0:
-                tp, _ = plane_hits(
-                    o, d, scene.planes.normals, scene.planes.offsets
-                )
-                is_light = is_light & ~(tp < t)
-                t = jnp.minimum(t, tp)
-            return (t < dist - 1.0e-3) & (~is_light)
+            return _merge_light_check(t, o, d, dist, lid)
         sids = nearest_hit_ids(scene, o, d, accel=accel_)
         is_light = (sids.prim_type == PRIM_SPHERE) & (sids.prim_id == lid)
         return (sids.t < dist - 1.0e-3) & (~is_light)

@@ -98,6 +98,39 @@ def test_treelet_render_matches_single_device(devices):
     assert np.asarray(film_lo).std() > 0.01
 
 
+def test_treelet_nee_matches_single_device(devices):
+    # NEE shadow rays ride the second ring (ring_occlusion_t): the treelet
+    # render with an emissive sphere light must match the replicated path
+    from atray_tpu.scene.data import Spheres
+
+    mats = make_materials([
+        ((0.2, 0.25, 0.35), (0.0, 0.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0), (0.8, 0.5, 0.3), 0.2),
+        ((5.0, 4.5, 4.0), (0.0, 0.0, 0.0), 0.0),
+    ])
+    mesh_g = translate(
+        procedural.uv_sphere(rows=10, cols=10, material=1, smooth=True),
+        (0, 0, -4),
+    )
+    spheres = Spheres(
+        centers=jnp.asarray([[1.5, 2.0, -3.0]]),
+        radii=jnp.asarray([0.6]),
+        material_id=jnp.asarray([2], jnp.int32),
+    )
+    scene = build_scene([mesh_g], spheres=spheres, materials=mats)
+    cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    s = RenderSettings(
+        resolution=(16, 16), samples_per_pixel=1, bounce_limit=2, nee=True
+    )
+    mesh = make_device_mesh()
+    film_tl = render_treelet(scene, cam, s, jax.random.PRNGKey(2), mesh)
+    film_lo = render(scene, cam, s, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        np.asarray(film_tl), np.asarray(film_lo), atol=1e-5
+    )
+    assert np.asarray(film_lo).max() > 0.05
+
+
 def test_treelet_render_with_compaction_and_stats(devices):
     scene = _scene()
     cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
