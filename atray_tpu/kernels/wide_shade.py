@@ -45,7 +45,7 @@ def _wide_shade_kernel(
     stacks_ref,                      # SMEM (2, stack_cap)
     in_sem, out_sem,
     *, leaf_size: int, rows_per_leaf: int, block_sub: int, num_pairs: int,
-    octant_split: bool,
+    octant_split: bool, multi_pop: int,
 ):
     S = block_sub
 
@@ -63,6 +63,18 @@ def _wide_shade_kernel(
 
         def bc(x11, ones):
             return x11 * ones
+
+        def fold(m):
+            """Union a per-lane bitmask (S, 128) over all lanes: every
+            lane ends up holding OR of the whole block — one value to
+            extract to the scalar core."""
+            s = m.shape[0]
+            while s > 1:
+                m = m[: s // 2] | m[s // 2 : 2 * (s // 2)]
+                s //= 2
+            for sh in (64, 32, 16, 8, 4, 2, 1):
+                m = m | pltpu.roll(m, shift=sh, axis=1)
+            return m
 
         inf = jnp.float32(_INF)
         oblk_ref[0] = jnp.full((2 * S, BLOCK_LANE), _INF, jnp.float32)
@@ -120,14 +132,7 @@ def _wide_shade_kernel(
                         & (t_near < best_t) & mask
                     )
                     rm = rm | jnp.where(bhit, jnp.int32(1 << c), 0)
-                m = rm
-                s = m.shape[0]
-                while s > 1:
-                    m = m[: s // 2] | m[s // 2 : 2 * (s // 2)]
-                    s //= 2
-                for sh in (64, 32, 16, 8, 4, 2, 1):
-                    m = m | pltpu.roll(m, shift=sh, axis=1)
-                return m
+                return rm   # per-lane 8-bit child-hit mask, NOT yet unioned
 
             def leaf_phase(leaf_row):
                 t_b = oblk_ref[0, lo : lo + S]
@@ -298,8 +303,8 @@ def _wide_shade_kernel(
                 popB = jnp.maximum(spB - 1, 0)
                 nodeA = stacks_ref[0, popA]
                 nodeB = stacks_ref[1, popB]
-                mA_row = rmA(nodeA)
-                mB_row = rmB(nodeB)
+                mA_row = fold(rmA(nodeA))
+                mB_row = fold(rmB(nodeB))
                 mA = mA_row[0, 0]
                 mB = mB_row[0, 0]
                 newA = scalar_phase(0, liveA, popA, mA, nodeA, leafA,
@@ -309,12 +314,60 @@ def _wide_shade_kernel(
                 return (jnp.where(liveA, newA, spA),
                         jnp.where(liveB, newB, spB))
 
+            def wbody_multi(state):
+                """Multi-pop iteration: up to ``multi_pop`` nodes per half
+                are expanded per vector→scalar round trip. The ~1 us
+                extract sync is the traversal currency (docs/KERNELS.md
+                lesson 1); packing K 8-bit child masks into one i32 pays
+                ONE sync for K nodes. Invalid pops (stack shallower than
+                K) are masked to zero in the vector domain."""
+                K = multi_pop
+                spA, spB = state
+                liveA = spA > 0
+                liveB = spB > 0
+                nodesA = [stacks_ref[0, jnp.maximum(spA - 1 - k, 0)]
+                          for k in range(K)]
+                nodesB = [stacks_ref[1, jnp.maximum(spB - 1 - k, 0)]
+                          for k in range(K)]
+                packA = jnp.zeros((S, BLOCK_LANE), jnp.int32)
+                packB = jnp.zeros((S, BLOCK_LANE), jnp.int32)
+                for k in range(K):
+                    mkA = jnp.where(spA > k, rmA(nodesA[k]), 0)
+                    mkB = jnp.where(spB > k, rmB(nodesB[k]), 0)
+                    packA = packA | (mkA << (8 * k))
+                    packB = packB | (mkB << (8 * k))
+                mA = fold(packA)[0, 0]
+                mB = fold(packB)[0, 0]
+                baseA = jnp.maximum(spA - K, 0)
+                baseB = jnp.maximum(spB - K, 0)
+                # reverse batch order so the nearest popped node's children
+                # land on top of the stack (preserves near-first popping)
+                for k in reversed(range(K)):
+                    okA = spA > k
+                    okB = spB > k
+                    baseA = jnp.where(
+                        okA,
+                        scalar_phase(0, okA, baseA, (mA >> (8 * k)) & 255,
+                                     nodesA[k], leafA,
+                                     desc_of(nodesA[k], sgnA)),
+                        baseA,
+                    )
+                    baseB = jnp.where(
+                        okB,
+                        scalar_phase(1, okB, baseB, (mB >> (8 * k)) & 255,
+                                     nodesB[k], leafB,
+                                     desc_of(nodesB[k], sgnB)),
+                        baseB,
+                    )
+                return (jnp.where(liveA, baseA, spA),
+                        jnp.where(liveB, baseB, spB))
+
             stacks_ref[0, 0] = jnp.int32(0)
             stacks_ref[1, 0] = jnp.int32(0)
             liveA0 = jnp.max(maskA.astype(jnp.float32)) > 0.0
             liveB0 = jnp.max(maskB.astype(jnp.float32)) > 0.0
             jax.lax.while_loop(
-                wcond, wbody,
+                wcond, wbody if multi_pop == 1 else wbody_multi,
                 (jnp.where(liveA0, 1, 0).astype(jnp.int32),
                  jnp.where(liveB0, 1, 0).astype(jnp.int32)),
             )
@@ -363,7 +416,8 @@ def _wide_shade_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "block_sub", "octant_split")
+    jax.jit,
+    static_argnames=("interpret", "block_sub", "octant_split", "multi_pop"),
 )
 def wide_shade_first_hit(
     swbvh: ShadedWideBVH,
@@ -373,6 +427,7 @@ def wide_shade_first_hit(
     interpret: bool = False,
     block_sub: int = 8,
     octant_split: bool = False,
+    multi_pop: int = 1,
 ):
     """Fused nearest-hit + shading data.
 
@@ -381,8 +436,12 @@ def wide_shade_first_hit(
     last ray. ``alive`` (R,) bool marks live paths: blocks whose lanes are
     all dead skip traversal entirely (their outputs are miss sentinels).
     ``octant_split=True`` traverses each block in 8 direction-octant masked
-    passes — dramatically faster for incoherent bounce rays, a small
-    constant overhead for coherent primaries (keep it False there).
+    passes (measured slower on real bounce rays — kept as a lineage knob).
+    ``multi_pop=K`` expands K stack nodes per vector→scalar sync — the sync
+    (~1 us) is the incoherent-traversal currency, so K=4 pays one extract
+    for 4 nodes. Needs SMEM stack capacity ``num_nodes`` per half (the DFS
+    depth bound no longer applies), so it is only valid for accels whose
+    node count fits; the caller falls back to K=1 otherwise.
     """
     n = orig.shape[0]
     block = block_sub * BLOCK_LANE
@@ -419,6 +478,14 @@ def wide_shade_first_hit(
         caxis = jnp.zeros((1, swbvh.num_nodes), jnp.int32)
 
     stack_cap = max(STACK_CAP, 8 * (swbvh.max_depth + 2))
+    if multi_pop > 1:
+        # batch expansion breaks the DFS depth bound; the hard bound is
+        # "every interior node on the stack at once". Cap SMEM use at
+        # ~0.5 MiB for the two stacks; larger accels fall back to K=1.
+        if swbvh.num_nodes + 8 > 65536:
+            multi_pop = 1
+        else:
+            stack_cap = max(stack_cap, swbvh.num_nodes + 8)
     out = pl.pallas_call(
         functools.partial(
             _wide_shade_kernel,
@@ -427,6 +494,7 @@ def wide_shade_first_hit(
             block_sub=block_sub,
             num_pairs=num_pairs,
             octant_split=octant_split,
+            multi_pop=multi_pop,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),

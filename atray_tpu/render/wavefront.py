@@ -681,24 +681,25 @@ def trace_radiance(
         return (sids.t < dist - 1.0e-3) & (~is_light)
 
     def sort_key(o, d, alive):
-        """Compaction key: dead rays last; live rays grouped by direction
-        octant then coarse spatial cell — restores packet coherence for
-        bounce rays (the wavefront analog of the reference's per-ray
-        early-break, SURVEY.md §5.7)."""
+        """Compaction key: dead rays last; live rays grouped by a FINE
+        direction bin (3 bits per axis — an octant is a 90-degree cone,
+        far too coarse to make a 1024-lane block traversal-coherent) then
+        a coarse spatial cell — restores packet coherence for bounce rays
+        (the wavefront analog of the reference's per-ray early-break,
+        SURVEY.md §5.7). Direction-major: a block of same-bin rays shares
+        the dominant sign the ordered traversal (kernels/wide_shade.py)
+        keys its near-first child order on."""
+        dq = jnp.clip((d * 0.5 + 0.5) * 7.0, 0.0, 7.0).astype(jnp.int32)
+        dbin = (dq[:, 0] << 6) | (dq[:, 1] << 3) | dq[:, 2]
         if scene.mesh.num_vertices > 0:
             v = scene.mesh.vertices
             lo = jnp.min(v, axis=0)
             hi = jnp.max(v, axis=0)
             q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
-            cell = (q * 31.0).astype(jnp.int32)
+            cell = (q * 3.0).astype(jnp.int32)
         else:
             cell = jnp.zeros(o.shape, jnp.int32)
-        octant = (
-            (d[:, 0] > 0).astype(jnp.int32)
-            + 2 * (d[:, 1] > 0).astype(jnp.int32)
-            + 4 * (d[:, 2] > 0).astype(jnp.int32)
-        )
-        key_ = (octant << 15) | (cell[:, 0] << 10) | (cell[:, 1] << 5) | cell[:, 2]
+        key_ = (dbin << 6) | (cell[:, 0] << 4) | (cell[:, 1] << 2) | cell[:, 2]
         return jnp.where(alive, key_, jnp.int32(1) << 30)
 
     def bounce_step(state, b, accel_, split=False):

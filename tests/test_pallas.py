@@ -261,6 +261,37 @@ def test_fused_shaded_render_matches_standard():
     )
 
 
+def test_wide_shade_multipop_matches_single():
+    # multi_pop=4 (4 nodes expanded per vector->scalar sync) must be an
+    # exact permutation-free reimplementation of the K=1 walk
+    from atray_tpu.accel.shaded import build_shaded_accel
+    from atray_tpu.core.camera import camera_rays
+    from atray_tpu.kernels.wide_shade import wide_shade_first_hit
+
+    mats = make_materials([((0.3, 0.4, 0.6), (0, 0, 0), 0.0),
+                           ((0, 0, 0), (0.7, 0.5, 0.3), 0.1)])
+    mesh = translate(
+        procedural.uv_sphere(rows=16, cols=16, material=1, smooth=True),
+        (0, 0, -4),
+    )
+    scene = build_scene([mesh], materials=mats)
+    accel = build_shaded_accel(scene, KDTreeConfig(leaf_size=8))
+    cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    orig, dirn = camera_rays(cam, 48, 48, spp=1)
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(orig.shape[0])  # incoherent mix
+    orig, dirn = orig[perm], dirn[perm]
+    alive = jnp.asarray(rng.uniform(size=(orig.shape[0],)) < 0.8)
+    f1 = wide_shade_first_hit(accel, orig, dirn, alive=alive, interpret=True)
+    f4 = wide_shade_first_hit(
+        accel, orig, dirn, alive=alive, interpret=True, multi_pop=4
+    )
+    for k in ("t", "id", "normal", "emission", "albedo", "scatter"):
+        np.testing.assert_array_equal(np.asarray(f1[k]), np.asarray(f4[k]))
+    hits = int(np.sum(np.asarray(f1["id"]) >= 0))
+    assert hits > 50
+
+
 def test_fused_shaded_nee_matches_standard():
     import dataclasses
 
