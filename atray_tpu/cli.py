@@ -277,6 +277,25 @@ def cmd_render(args) -> int:
             )(key)
             per_shard = np.asarray(st["rays_cast_per_shard"])
         tail_report(report, rays_per_shard=per_shard, file=sys.stderr)
+    elif args.treelet:
+        # geometry-sharded render: triangles partitioned over the mesh,
+        # rays ride ppermute rings (dist/treelet.py) — for scenes larger
+        # than one chip's HBM
+        from atray_tpu.dist.treelet import render_treelet
+
+        if dmesh is None:
+            from atray_tpu.dist.mesh import make_device_mesh
+
+            dmesh = make_device_mesh()
+        print(
+            f"treelet sharding over {dmesh.devices.size} device(s)",
+            file=sys.stderr,
+        )
+        key = jax.random.PRNGKey(args.seed)
+        with Phase("render", block=True):
+            film = np.asarray(
+                render_treelet(scene, camera, settings, key, dmesh)
+            )
     else:
         key = jax.random.PRNGKey(args.seed)
         with Phase("compile"):
@@ -346,6 +365,10 @@ def main(argv=None) -> int:
     pr.add_argument("--telemetry", type=int, default=0, metavar="N",
                     help="render as N timed chunks and print the per-chunk "
                          "cost / tail-latency table (per-tile ms analog)")
+    pr.add_argument("--treelet", action="store_true",
+                    help="shard GEOMETRY over the device mesh (rays ride "
+                         "ppermute rings) — for scenes exceeding one "
+                         "chip's HBM; combines with --mesh N")
     pr.set_defaults(fn=cmd_render)
 
     pi = sub.add_parser("info", help="show devices / runtime info")

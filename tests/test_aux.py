@@ -199,6 +199,37 @@ translate_to = [0.0, 0.0, -4.0]
         data = out.read_bytes()
         assert data[:8] == b"\x89PNG\r\n\x1a\n"
 
+    def test_cli_render_treelet(self, tmp_path, devices):
+        toml = """
+[render]
+resolution = [16, 16]
+samples_per_pixel = 1
+bounce_limit = 2
+
+[[materials]]
+name = "sky"
+emission = [0.3, 0.4, 0.6]
+
+[[materials]]
+name = "grey"
+albedo = [0.7, 0.7, 0.7]
+
+[[meshes]]
+procedural = "cube"
+material = "grey"
+translate_to = [0.0, 0.0, -4.0]
+"""
+        sp = tmp_path / "scene.toml"
+        sp.write_text(toml)
+        out = tmp_path / "img_tl.png"
+        ref = tmp_path / "img_ref.png"
+        from atray_tpu.cli import main
+
+        assert main(["render", str(sp), "-o", str(out), "--treelet"]) == 0
+        assert main(["render", str(sp), "-o", str(ref)]) == 0
+        # geometry-sharded CLI render matches the replicated one exactly
+        assert out.read_bytes()[8:] == ref.read_bytes()[8:]
+
 
 class TestDebugViz:
     def test_cost_heatmap_and_boxes(self, tmp_path):
