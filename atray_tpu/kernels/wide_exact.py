@@ -259,12 +259,12 @@ def wide_exact_first_hit(
             num_blocks=num_blocks,
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cboxes
             pl.BlockSpec(memory_space=pltpu.SMEM),   # clinks
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tris
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((4, rows, BLOCK_LANE), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((6, block_sub, BLOCK_LANE), jnp.float32),

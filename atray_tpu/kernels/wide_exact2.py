@@ -283,12 +283,12 @@ def wide_exact2_first_hit(
             num_pairs=num_pairs,
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((4, rows, BLOCK_LANE), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((6, 2 * block_sub, BLOCK_LANE), jnp.float32),

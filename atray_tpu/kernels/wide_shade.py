@@ -497,13 +497,13 @@ def wide_shade_first_hit(
             multi_pop=multi_pop,
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((NOUT, rows, BLOCK_LANE), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((7, 2 * block_sub, BLOCK_LANE), jnp.float32),
