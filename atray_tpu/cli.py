@@ -281,20 +281,25 @@ def cmd_render(args) -> int:
         # geometry-sharded render: triangles partitioned over the mesh,
         # rays ride ppermute rings (dist/treelet.py) — for scenes larger
         # than one chip's HBM
-        from atray_tpu.dist.treelet import render_treelet
+        from atray_tpu.dist.treelet import build_treelet_accels, render_treelet
 
         if dmesh is None:
             from atray_tpu.dist.mesh import make_device_mesh
 
             dmesh = make_device_mesh()
-        print(
-            f"treelet sharding over {dmesh.devices.size} device(s)",
-            file=sys.stderr,
-        )
+        n_dev = dmesh.devices.size
+        print(f"treelet sharding over {n_dev} device(s)", file=sys.stderr)
+        # kernel-backed per-treelet wide BVHs when the mesh is big enough
+        # to partition; tiny scenes brute-force (the oracle backend)
+        ta = None
+        if scene.mesh.num_faces >= n_dev * accel_cfg.leaf_size:
+            with Phase("bvh_build"):
+                ta = build_treelet_accels(scene, n_dev, accel_cfg)
         key = jax.random.PRNGKey(args.seed)
         with Phase("render", block=True):
             film = np.asarray(
-                render_treelet(scene, camera, settings, key, dmesh)
+                render_treelet(scene, camera, settings, key, dmesh,
+                               treelets=ta)
             )
     else:
         key = jax.random.PRNGKey(args.seed)

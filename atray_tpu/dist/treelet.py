@@ -106,6 +106,111 @@ def build_treelets(scene: Scene, n_parts: int) -> TreeletGeom:
     return TreeletGeom(recs=jnp.asarray(recs))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TreeletAccels:
+    """Per-treelet ShadedWideBVH tables, padded to COMMON static shapes and
+    stacked on a leading parts axis so they shard over the device mesh with
+    ``P('parts')`` — the production-speed treelet backend (the brute-force
+    ``TreeletGeom`` path is the oracle). Leaf records carry GLOBAL face ids
+    (remapped after each sub-build), so hit payloads are layout-invariant.
+    """
+
+    cboxes: jnp.ndarray   # f32 (P, W, 128)
+    clinks: jnp.ndarray   # i32 (P, 8, W)
+    caxis: jnp.ndarray    # i32 (P, 1, W)
+    tris: jnp.ndarray     # f32 (P, rows, 128) stride-32 shaded records
+    leaf_size: int = dataclasses.field(metadata=dict(static=True))
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    max_depth: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_parts(self) -> int:
+        return self.cboxes.shape[0]
+
+    def local(self, cb, cl, ax, tr):
+        """Reassemble ONE device's shard (leading axis 1) into the
+        ShadedWideBVH the fused kernel consumes."""
+        from atray_tpu.accel.shaded import ShadedWideBVH
+
+        return ShadedWideBVH(
+            cboxes=cb[0], clinks=cl[0], tris=tr[0], caxis=ax[0],
+            leaf_size=self.leaf_size, num_nodes=self.num_nodes,
+            max_depth=self.max_depth,
+        )
+
+
+def build_treelet_accels(scene: Scene, n_parts: int, config=None):
+    """Spatially partition the mesh and build one shaded wide-BVH per part.
+
+    Tables are padded to the max node/leaf-row counts across parts (pad
+    nodes are never linked, pad records can never hit) and the baked face
+    ids are remapped to GLOBAL indices.
+    """
+    import numpy as np
+
+    from atray_tpu.accel.shaded import build_shaded_accel
+    from atray_tpu.config import KDTreeConfig
+
+    cfg = config or KDTreeConfig(leaf_size=16)
+    faces = np.asarray(scene.mesh.faces)
+    if faces.shape[0] < n_parts:
+        raise ValueError(
+            f"treelet accels need >= {n_parts} faces, got {faces.shape[0]}"
+        )
+    parts = partition_faces(np.asarray(scene.mesh.vertices), faces, n_parts)
+    accs = []
+    for idx in parts:
+        sub = dataclasses.replace(
+            scene,
+            mesh=dataclasses.replace(
+                scene.mesh,
+                faces=scene.mesh.faces[idx],
+                face_normal_idx=scene.mesh.face_normal_idx[idx],
+                face_tex_idx=scene.mesh.face_tex_idx[idx],
+                material_id=scene.mesh.material_id[idx],
+            ),
+        )
+        acc = build_shaded_accel(sub, cfg)
+        # remap the baked LOCAL face ids (lane 9, bitcast) to global ones
+        tris = np.array(acc.tris)   # writable copy (asarray views are RO)
+        flat = tris.reshape(-1, 32)
+        tid = flat[:, 9].view(np.int32).copy()
+        real = tid >= 0
+        tid[real] = np.asarray(idx, np.int64)[tid[real]].astype(np.int32)
+        flat[:, 9] = tid.view(np.float32)
+        accs.append(dataclasses.replace(acc, tris=jnp.asarray(tris)))
+
+    w = max(a.num_nodes for a in accs)
+    rows = max(a.tris.shape[0] for a in accs)
+    cb = np.zeros((n_parts, w, 128), np.float32)
+    # pad nodes: inverted boxes (never overlap) — they are also unreachable
+    for f in range(3):
+        cb[:, :, 8 * f : 8 * f + 8] = 3.0e38
+        cb[:, :, 8 * (f + 3) : 8 * (f + 3) + 8] = -3.0e38
+    cl = np.full((n_parts, 8, w), np.int32(-2147483648), np.int32)
+    ax = np.zeros((n_parts, 1, w), np.int32)
+    tr = np.zeros((n_parts, rows, 128), np.float32)
+    tr.reshape(n_parts, -1, 32)[:, :, 0:3] = 1.0e30   # pad records miss
+    tr.reshape(n_parts, -1, 32)[:, :, 9] = np.float32(
+        np.array([-1], np.int32).view(np.float32)[0]
+    )
+    for i, a in enumerate(accs):
+        cb[i, : a.num_nodes] = np.asarray(a.cboxes)
+        cl[i, :, : a.num_nodes] = np.asarray(a.clinks)
+        ax[i, :, : a.num_nodes] = np.asarray(a.caxis)
+        tr[i, : a.tris.shape[0]] = np.asarray(a.tris)
+    return TreeletAccels(
+        cboxes=jnp.asarray(cb),
+        clinks=jnp.asarray(cl),
+        caxis=jnp.asarray(ax),
+        tris=jnp.asarray(tr),
+        leaf_size=cfg.leaf_size,
+        num_nodes=w,
+        max_depth=max(a.max_depth for a in accs),
+    )
+
+
 def _local_first_hit(recs: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray):
     """Nearest hit of each ray against ONE treelet's records.
 
@@ -215,6 +320,87 @@ def ring_first_hit(
     return t_b, n_b, m_b, f_b >= 0, f_b
 
 
+def ring_first_hit_accel(
+    ta: TreeletAccels,
+    cb, cl, ax, tr,            # this device's table shards (leading axis 1)
+    orig: jnp.ndarray,
+    dirn: jnp.ndarray,
+    alive: jnp.ndarray,        # (R,) f32 live mask (rides the ring)
+    n_parts: int,
+    axis_name: str = "rays",
+    interpret: bool = False,
+):
+    """Kernel-backed global nearest hit: per hop, the resident treelet's
+    fused wide-BVH kernel (kernels/wide_shade.py) answers the local query;
+    the carried best record keeps (t, normal, emission, albedo, scatter,
+    fid). Returns that tuple for the home rays after n_parts hops."""
+    from atray_tpu.kernels.wide_shade import wide_shade_first_hit
+
+    acc = ta.local(cb, cl, ax, tr)
+    r = orig.shape[0]
+    perm = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+    state = (
+        orig, dirn, alive,
+        jnp.full((r,), INF),
+        jnp.zeros((r, 3)), jnp.zeros((r, 3)), jnp.zeros((r, 3)),
+        jnp.zeros((r,)),
+        jnp.full((r,), -1, jnp.int32),
+    )
+
+    def hop(_, st):
+        o, d, a, t_b, n_b, em_b, al_b, sc_b, f_b = st
+        fo = wide_shade_first_hit(acc, o, d, alive=a, interpret=interpret)
+        upd = fo["t"] < t_b
+        u1 = upd[:, None]
+        st = (
+            o, d, a,
+            jnp.where(upd, fo["t"], t_b),
+            jnp.where(u1, fo["normal"], n_b),
+            jnp.where(u1, fo["emission"], em_b),
+            jnp.where(u1, fo["albedo"], al_b),
+            jnp.where(upd, fo["scatter"], sc_b),
+            jnp.where(upd, fo["id"], f_b),
+        )
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, axis_name, perm), st
+        )
+
+    st = jax.lax.fori_loop(0, n_parts, hop, state)
+    _, _, _, t_b, n_b, em_b, al_b, sc_b, f_b = st
+    return t_b, n_b, em_b, al_b, sc_b, f_b
+
+
+def ring_occlusion_t_accel(
+    ta: TreeletAccels,
+    cb, cl, ax, tr,
+    orig: jnp.ndarray,
+    dirn: jnp.ndarray,
+    live: jnp.ndarray,
+    n_parts: int,
+    axis_name: str = "rays",
+    interpret: bool = False,
+):
+    """Shadow-ray companion of ``ring_first_hit_accel``: nearest t only."""
+    from atray_tpu.kernels.wide_shade import wide_shade_first_hit
+
+    acc = ta.local(cb, cl, ax, tr)
+    r = orig.shape[0]
+    perm = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+
+    def hop(_, st):
+        o, d, a, t_b = st
+        t = wide_shade_first_hit(acc, o, d, alive=a, interpret=interpret)["t"]
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, axis_name, perm),
+            (o, d, a, jnp.minimum(t_b, t)),
+        )
+
+    _, _, _, t_b = jax.lax.fori_loop(
+        0, n_parts, hop, (orig, dirn, live, jnp.full((r,), INF))
+    )
+    return t_b
+
+
 def render_treelet(
     scene: Scene,
     camera: Camera,
@@ -229,13 +415,19 @@ def render_treelet(
 
     Mirrors ``wavefront.render`` (tile-ordered rays, spp average, clamp)
     but shards the TRIANGLES over the mesh instead of replicating them:
-    per-bounce nearest-hit queries run as ppermute rings (``ring_first_hit``)
-    through ``trace_radiance``'s ``hit_override`` seam, so shading, PRNG
+    per-bounce nearest-hit queries run as ppermute rings through
+    ``trace_radiance``'s ``hit_override`` seam, so shading, PRNG
     discipline, compaction, and the rays-cast counter are the exact same
     code as the replicated path. Spheres/planes/materials are replicated
     (tiny). ``settings.ray_chunk`` is ignored (ray memory per device is
     already 1/n_devices). NEE runs its shadow rays through a second, leaner
-    ring (``ring_occlusion_t``).
+    occlusion ring.
+
+    ``treelets`` selects the local-query backend: a ``TreeletAccels``
+    (from ``build_treelet_accels``) runs each hop through the fused
+    wide-BVH Pallas kernel — the production path; a ``TreeletGeom`` (or
+    None, the default) brute-forces Möller–Trumbore over the treelet's
+    records — the oracle path.
     """
     n_dev = int(mesh.devices.size)
     if treelets is None:
@@ -243,6 +435,11 @@ def render_treelet(
     if treelets.num_parts != n_dev:
         raise ValueError(
             f"treelets built for {treelets.num_parts} parts, mesh has {n_dev}"
+        )
+    if isinstance(treelets, TreeletAccels):
+        return _render_treelet_accel(
+            scene, camera, settings, key, mesh, treelets, axis_name,
+            return_stats,
         )
 
     w, h = settings.resolution
@@ -302,6 +499,103 @@ def render_treelet(
         return color, stats["rays_cast"][None]
 
     color, rc_shards = _run(orig, dirn, ray_ids, treelets.recs)
+    color = color[:n]
+    color = from_tile_order(color, w, h, spp)
+    film = color.reshape(spp, h, w, 3).mean(axis=0)
+    film = jnp.clip(film, 0.0, 1.0)
+    if return_stats:
+        return film, {
+            "rays_cast": jnp.sum(rc_shards),
+            "rays_cast_per_shard": rc_shards,
+        }
+    return film
+
+
+def _render_treelet_accel(
+    scene: Scene,
+    camera: Camera,
+    settings: RenderSettings,
+    key: jax.Array,
+    mesh: Mesh,
+    ta: TreeletAccels,
+    axis_name: str,
+    return_stats: bool,
+):
+    """Kernel-backed variant of ``render_treelet``: the four wide-BVH
+    tables shard over the mesh on their leading parts axis; each ring hop
+    runs the fused Pallas traversal on the resident treelet."""
+    from atray_tpu.render.wavefront import _pallas_interpret
+
+    n_dev = int(mesh.devices.size)
+    interpret = _pallas_interpret()
+
+    w, h = settings.resolution
+    spp = settings.samples_per_pixel
+    aa_key, bounce_key = jax.random.split(key)
+    orig, dirn = camera_rays(
+        camera, w, h, spp,
+        key=aa_key if settings.anti_aliasing else None,
+        anti_aliasing=settings.anti_aliasing,
+    )
+    orig = to_tile_order(orig, w, h, spp)
+    dirn = to_tile_order(dirn, w, h, spp)
+    n = orig.shape[0]
+    ray_ids = jnp.arange(n, dtype=jnp.int32)
+
+    pad = (-n) % n_dev
+    if pad:
+        orig = jnp.concatenate([orig, jnp.full((pad, 3), 1.0e7, orig.dtype)])
+        dirn = jnp.concatenate(
+            [dirn, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dirn.dtype),
+                            (pad, 1))]
+        )
+        ray_ids = jnp.concatenate(
+            [ray_ids, n + jnp.arange(pad, dtype=jnp.int32)]
+        )
+
+    from atray_tpu.scene.data import empty_mesh
+
+    lean = dataclasses.replace(scene, mesh=empty_mesh())
+    rayspec = P(axis_name)
+    partspec = P(axis_name)   # leading parts axis sharded over same devices
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(rayspec, rayspec, rayspec,
+                  partspec, partspec, partspec, partspec),
+        out_specs=(rayspec, rayspec),
+        check_vma=False,
+    )
+    def _run(o, d, ids, cb, cl, ax, tr):
+        def override(o_, d_, alive):
+            o_ = jax.lax.stop_gradient(o_)
+            d_ = jax.lax.stop_gradient(d_)
+            t, nrm, em_r, al_r, sc_r, fid = ring_first_hit_accel(
+                ta, cb, cl, ax, tr, o_, d_,
+                alive.astype(jnp.float32), n_parts=n_dev,
+                axis_name=axis_name, interpret=interpret,
+            )
+            return t, nrm, em_r, al_r, sc_r, fid >= 0
+
+        def occl(o_, d_, live):
+            return ring_occlusion_t_accel(
+                ta, cb, cl, ax, tr, o_, d_,
+                live.astype(jnp.float32), n_parts=n_dev,
+                axis_name=axis_name, interpret=interpret,
+            )
+
+        color, stats = trace_radiance(
+            lean, o, d, settings.bounce_limit, key=bounce_key,
+            sort_rays=settings.sort_bounces, nee=settings.nee,
+            return_stats=True, ray_ids=ids, hit_override=override,
+            occl_override=occl,
+        )
+        return color, stats["rays_cast"][None]
+
+    color, rc_shards = _run(
+        orig, dirn, ray_ids, ta.cboxes, ta.clinks, ta.caxis, ta.tris
+    )
     color = color[:n]
     color = from_tile_order(color, w, h, spp)
     film = color.reshape(spp, h, w, 3).mean(axis=0)

@@ -496,13 +496,15 @@ def trace_radiance(
       flipped (backface) — reference renderer.cpp:233-238;
       color += weight * emission[m]; weight *= albedo[m] * attenuation.
 
-    ``hit_override`` replaces the TRIANGLE-class nearest-hit query:
-    ``hit_override(o, d, alive) -> (t, normal, material_id, hit)`` — used
-    by the treelet (geometry-sharded) path, dist/treelet.py, whose query is
-    a ppermute ring over per-device sub-BVHs. Spheres/planes are still
-    merged here (they are replicated — tiny). NEE additionally needs
-    ``occl_override(o, d, live) -> t`` (triangle-class nearest t of the
-    shadow rays — the treelet path's leaner second ring).
+    ``hit_override`` replaces the TRIANGLE-class nearest-hit query: either
+    ``(o, d, alive) -> (t, normal, material_id, hit)`` or the fused form
+    ``-> (t, normal, emission, albedo, scatter, hit)`` — used by the
+    treelet (geometry-sharded) path, dist/treelet.py, whose query is a
+    ppermute ring over per-device sub-BVHs (brute-force or Pallas-backed).
+    Spheres/planes are still merged here (they are replicated — tiny).
+    NEE additionally needs ``occl_override(o, d, live) -> t`` (triangle-
+    class nearest t of the shadow rays — the treelet path's leaner second
+    ring).
     """
     r = orig.shape[0]
     if uniforms is None and key is None:
@@ -565,7 +567,15 @@ def trace_radiance(
         occlusion tests.
         """
         if hit_override is not None:
-            t, n, mat, hit = hit_override(o, d, alive)
+            out = hit_override(o, d, alive)
+            if len(out) == 6:
+                # fused-style override: material constants ride the hit
+                # record (the kernel-backed treelet ring) — no gathers
+                t, n, em_ray, al_ray, sc_ray, hit = out
+                return _patch_spheres_planes(
+                    o, d, t, n, hit, em_ray, al_ray, sc_ray
+                )
+            t, n, mat, hit = out
             return _patch_spheres_planes(
                 o, d, t, n, hit, em[mat], al[mat], sc[mat]
             )

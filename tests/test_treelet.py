@@ -11,6 +11,7 @@ from atray_tpu.core.camera import look_at_camera
 from atray_tpu.core.intersect import first_triangle_hit
 from atray_tpu.dist.mesh import make_device_mesh
 from atray_tpu.dist.treelet import (
+    build_treelet_accels,
     build_treelets,
     partition_faces,
     render_treelet,
@@ -129,6 +130,64 @@ def test_treelet_nee_matches_single_device(devices):
         np.asarray(film_tl), np.asarray(film_lo), atol=1e-5
     )
     assert np.asarray(film_lo).max() > 0.05
+
+
+def test_treelet_accel_render_matches_replicated(devices):
+    # the PRODUCTION treelet backend: per-treelet wide-BVH tables sharded
+    # over the mesh, fused Pallas kernel per ring hop — must match the
+    # replicated fused render (same PRNG streams)
+    from atray_tpu.accel.shaded import build_shaded_accel
+    from atray_tpu.config import KDTreeConfig
+
+    scene = _scene(rows=14, cols=14)
+    cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    s = RenderSettings(resolution=(16, 16), samples_per_pixel=2, bounce_limit=3)
+    mesh = make_device_mesh()
+    ta = build_treelet_accels(scene, mesh.devices.size,
+                              KDTreeConfig(leaf_size=8))
+    film_tl = render_treelet(scene, cam, s, jax.random.PRNGKey(0), mesh,
+                             treelets=ta)
+    accel = build_shaded_accel(scene, KDTreeConfig(leaf_size=8))
+    film_lo = render(scene, cam, s, jax.random.PRNGKey(0), accel=accel)
+    np.testing.assert_allclose(
+        np.asarray(film_tl), np.asarray(film_lo), atol=1e-5
+    )
+    assert np.asarray(film_lo).std() > 0.01
+
+
+def test_treelet_accel_nee_matches_replicated(devices):
+    from atray_tpu.config import KDTreeConfig
+    from atray_tpu.scene.data import Spheres
+
+    mats = make_materials([
+        ((0.2, 0.25, 0.35), (0.0, 0.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0), (0.8, 0.5, 0.3), 0.2),
+        ((5.0, 4.5, 4.0), (0.0, 0.0, 0.0), 0.0),
+    ])
+    mesh_g = translate(
+        procedural.uv_sphere(rows=10, cols=10, material=1, smooth=True),
+        (0, 0, -4),
+    )
+    spheres = Spheres(
+        centers=jnp.asarray([[1.5, 2.0, -3.0]]),
+        radii=jnp.asarray([0.6]),
+        material_id=jnp.asarray([2], jnp.int32),
+    )
+    scene = build_scene([mesh_g], spheres=spheres, materials=mats)
+    cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    s = RenderSettings(
+        resolution=(12, 12), samples_per_pixel=1, bounce_limit=2, nee=True
+    )
+    mesh = make_device_mesh()
+    ta = build_treelet_accels(scene, mesh.devices.size,
+                              KDTreeConfig(leaf_size=8))
+    film_tl = render_treelet(scene, cam, s, jax.random.PRNGKey(2), mesh,
+                             treelets=ta)
+    film_ref = render_treelet(scene, cam, s, jax.random.PRNGKey(2), mesh)
+    np.testing.assert_allclose(
+        np.asarray(film_tl), np.asarray(film_ref), atol=1e-5
+    )
+    assert np.asarray(film_ref).max() > 0.05
 
 
 def test_treelet_render_with_compaction_and_stats(devices):
