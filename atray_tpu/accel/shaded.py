@@ -122,13 +122,15 @@ def build_shaded_accel(
     flat[rec[real], 23:26] = al[t_real]
     flat[rec[real], 26] = sc[t_real]
 
-    # wide collapse shares the binary topology; we pass our stride-32 rows
-    # and fix up leaf_row indexing via the shared leaf_size/rows_per_leaf
-    wide = build_wide_bvh(bvh, jnp.asarray(tris))
-    # build_wide_bvh computed leaf_row with the 16-stride rows_per_leaf
+    # wide collapse shares the binary topology; HOST-side throughout
+    # (accel.wide._collapse_wide_np) — no device round-trips: a d2h over
+    # the axon relay costs seconds and serializes behind running kernels
+    from atray_tpu.accel.wide import _collapse_wide_np
+
+    cboxes, clinks, caxis, max_depth = _collapse_wide_np(bvh)
+    # the collapse computed leaf_row with the 16-stride rows_per_leaf
     # (leaf_size // 8); recompute clinks leaf rows for stride 32
     rpl16 = max(1, ls // 8)
-    clinks = np.asarray(wide.clinks)
     is_leaf = (clinks < 0) & (clinks > -2147483647)
     leaf_row16 = -(clinks + 1)
     leaf_idx = leaf_row16 // rpl16
@@ -136,11 +138,11 @@ def build_shaded_accel(
     clinks = np.where(is_leaf, -(leaf_row32 + 1), clinks)
 
     return ShadedWideBVH(
-        cboxes=wide.cboxes,
+        cboxes=jnp.asarray(cboxes),
         clinks=jnp.asarray(clinks.astype(np.int32)),
         tris=jnp.asarray(tris),
         leaf_size=ls,
-        num_nodes=wide.num_nodes,
-        max_depth=wide.max_depth,
-        caxis=wide.caxis,
+        num_nodes=cboxes.shape[0],
+        max_depth=max_depth,
+        caxis=jnp.asarray(caxis),
     )

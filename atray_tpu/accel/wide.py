@@ -70,11 +70,15 @@ class WideBVH:
         return max(1, self.leaf_size // 8)
 
 
-def build_wide_bvh(bvh: BVH, tris_packed: jnp.ndarray) -> WideBVH:
-    """Collapse a flattened binary BVH (skip-link form) into 8-wide tables.
+def _collapse_wide_np(bvh: BVH):
+    """Collapse a flattened binary BVH (skip-link form) into 8-wide tables,
+    entirely HOST-side (numpy in, numpy out).
 
-    ``tris_packed`` is TreePack.tris (the leaf rows are reused verbatim —
-    leaf_row indexing is identical).
+    Returns (cboxes (W,128) f32, clinks (8,W) i32, caxis (1,W) i32,
+    max_depth). Kept numpy so callers that post-process the tables
+    (accel/shaded.py rewrites leaf rows for its stride-32 layout) never
+    round-trip through the device — a d2h over the axon relay costs
+    seconds and serializes behind running kernels.
     """
     miss = np.asarray(bvh.node_miss)
     leaf_start = np.asarray(bvh.leaf_start)
@@ -184,13 +188,23 @@ def build_wide_bvh(bvh: BVH, tris_packed: jnp.ndarray) -> WideBVH:
     sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
     compute_depth(0, 1)
 
+    return cboxes, clinks, caxis, int(depth.max())
+
+
+def build_wide_bvh(bvh: BVH, tris_packed: jnp.ndarray) -> WideBVH:
+    """Collapse a flattened binary BVH into 8-wide device tables.
+
+    ``tris_packed`` is TreePack.tris (the leaf rows are reused verbatim —
+    leaf_row indexing is identical).
+    """
+    cboxes, clinks, caxis, max_depth = _collapse_wide_np(bvh)
     return WideBVH(
         cboxes=jnp.asarray(cboxes),
         clinks=jnp.asarray(clinks),
         tris=tris_packed,
-        leaf_size=ls,
-        num_nodes=nw,
-        max_depth=int(depth.max()),
+        leaf_size=bvh.leaf_size,
+        num_nodes=cboxes.shape[0],
+        max_depth=max_depth,
         caxis=jnp.asarray(caxis),
     )
 

@@ -288,7 +288,7 @@ def resolve_hit(
 
 
 def make_fused_hit_shade(
-    accel, interpret: bool, octant_split: bool = False
+    accel, interpret: bool, octant_split: bool = False, multi_pop: int = 1
 ) -> Callable:
     """Build the fused hit+shade primitive for a ShadedWideBVH: a
     ``jax.custom_vjp`` whose FORWARD is the gather-free Pallas kernel
@@ -319,6 +319,7 @@ def make_fused_hit_shade(
             alive=jax.lax.stop_gradient(alive_f),
             interpret=interpret,
             octant_split=octant_split,
+            multi_pop=multi_pop,
         )
         return (
             fo["t"], fo["normal"], fo["emission"], fo["albedo"],
@@ -431,6 +432,14 @@ def draw_bounce_uniforms(
     )
 
 
+# Stack-node expansions per vector→scalar sync in the SCANNED bounce
+# kernel. The sync (~1 us) is the incoherent-traversal currency; packing 4
+# child masks per extract measured 1.17-1.21x on real bounce rays and
+# 0.92x on coherent primaries (scripts/probe_r2.py, dragon 139k, v5e) —
+# so bounces use K=4 and the peeled primary stays at K=1.
+BOUNCE_MULTI_POP = 4
+
+
 def _split_accel(accel):
     """(primary_accel, bounce_accel, needs_peel) — static kernel dispatch.
 
@@ -438,13 +447,20 @@ def _split_accel(accel):
     (coherent film tiles) uses the wide/persistent kernel, later bounces
     (scattered directions) the exact-culling packet kernel. A plain
     WideBVH("exact") pairs with its interleaved twin for bounces. The
-    ShadedWideBVH fused kernel serves both phases (one Mosaic program, no
-    peel; its octant-split variant measured slower on real bounce rays).
+    ShadedWideBVH fused kernel serves both phases but is peeled anyway
+    when its node count admits multi-pop: the primary runs K=1, scan
+    bounces K=BOUNCE_MULTI_POP (see above; the octant-split variant
+    measured slower on real bounce rays).
     """
+    from atray_tpu.accel.shaded import ShadedWideBVH
     from atray_tpu.accel.wide import HybridAccel, WideBVH
 
     if isinstance(accel, HybridAccel):
         return accel.wide, accel.pack, True
+    if isinstance(accel, ShadedWideBVH):
+        # multi-pop needs num_nodes-entry SMEM stacks (wide_shade.py);
+        # beyond that the kernel falls back to K=1 — don't peel then
+        return accel, accel, accel.num_nodes + 8 <= 65536
     if isinstance(accel, WideBVH) and accel.variant == "exact":
         return accel, dataclasses.replace(accel, variant="exact2"), True
     return accel, accel, False
@@ -538,13 +554,17 @@ def trace_radiance(
     from atray_tpu.accel.shaded import ShadedWideBVH
 
     interpret = _pallas_interpret()
+    if interpret and isinstance(accel, ShadedWideBVH):
+        # no K split off-TPU (see bounce_mp below) — don't peel the
+        # primary into a second identical program instance
+        needs_peel = False
     _fused_cache = {}
 
-    def _fused_for(accel_, split=False):
-        k = (id(accel_), split)
+    def _fused_for(accel_, split=False, mp=1):
+        k = (id(accel_), split, mp)
         if k not in _fused_cache:
             _fused_cache[k] = make_fused_hit_shade(
-                accel_, interpret, octant_split=split
+                accel_, interpret, octant_split=split, multi_pop=mp
             )
         return _fused_cache[k]
 
@@ -555,7 +575,7 @@ def trace_radiance(
         oh = (idx[:, None] == jnp.arange(k)[None, :]).astype(table.dtype)
         return oh @ table
 
-    def _hit_inputs(o, d, alive, accel_, split=False):
+    def _hit_inputs(o, d, alive, accel_, split=False, mp=1):
         """(t, n, hit, em_ray, al_ray, sc_ray, aux) for the nearest hit.
 
         Standard path: discrete ids + differentiable resolve + material
@@ -580,7 +600,7 @@ def trace_radiance(
                 o, d, t, n, hit, em[mat], al[mat], sc[mat]
             )
         if isinstance(accel_, ShadedWideBVH):
-            t, n, em_ray, al_ray, sc_ray, fid = _fused_for(accel_, split)(
+            t, n, em_ray, al_ray, sc_ray, fid = _fused_for(accel_, split, mp)(
                 scene, o, d, alive.astype(jnp.float32)
             )
             hit = fid >= 0
@@ -665,7 +685,7 @@ def trace_radiance(
             t = jnp.minimum(t, tp)
         return (t < dist - 1.0e-3) & (~is_light)
 
-    def _occlusion(o, d, accel_, dist, lid, live, split=False):
+    def _occlusion(o, d, accel_, dist, lid, live, split=False, mp=1):
         """True where something other than the picked light blocks the
         shadow ray before ``dist``. Purely discrete — all inputs detached
         (visibility carries no gradient by convention)."""
@@ -683,7 +703,7 @@ def trace_radiance(
 
             t = wide_shade_first_hit(
                 accel_, o, d, alive=live, interpret=interpret,
-                octant_split=split,
+                octant_split=split, multi_pop=mp,
             )["t"]
             return _merge_light_check(t, o, d, dist, lid)
         sids = nearest_hit_ids(scene, o, d, accel=accel_)
@@ -712,11 +732,12 @@ def trace_radiance(
         key_ = (dbin << 6) | (cell[:, 0] << 4) | (cell[:, 1] << 2) | cell[:, 2]
         return jnp.where(alive, key_, jnp.int32(1) << 30)
 
-    def bounce_step(state, b, accel_, split=False):
+    def bounce_step(state, b, accel_, split=False, mp=1):
         """One wavefront bounce. ``b`` may be a static int (peeled primary)
         or a traced scan index. ``split`` selects the octant-partitioned
         kernel variant (right for incoherent bounce rays, overhead for
-        coherent primaries)."""
+        coherent primaries); ``mp`` the multi-pop batch (K=1 coherent
+        primary, K=BOUNCE_MULTI_POP scanned bounces)."""
         o, d, weight, color, alive, gid, rc = state
         if uniforms is not None:
             uni = uniforms[b][gid - gid0]
@@ -728,7 +749,7 @@ def trace_radiance(
         rc = rc + jnp.sum(alive.astype(jnp.float32))
 
         t, n, hit, em_ray, al_ray, sc_ray, _aux = _hit_inputs(
-            o, d, alive, accel_, split
+            o, d, alive, accel_, split, mp
         )
 
         miss_now = alive & ~hit
@@ -776,7 +797,9 @@ def trace_radiance(
             # surface); dead lanes get parked rays
             so = jnp.where(live_hit[:, None], hit_p, 1.0e7)
             sd = jnp.where(live_hit[:, None], ldir, jnp.asarray([0.0, 0.0, 1.0]))
-            occluded = _occlusion(so, sd, accel_, dist, lid, live_hit, split)
+            occluded = _occlusion(
+                so, sd, accel_, dist, lid, live_hit, split, mp
+            )
             geom = (lr * lr) / jnp.maximum(dist * dist, lr * lr)
             direct = (
                 weight
@@ -827,8 +850,16 @@ def trace_radiance(
     # the tree per octant and the per-pass machinery outweighs the
     # narrower unions. Kept available on the kernel for future use; the
     # scan uses the single-pass variant.
+    # interpret mode (CPU tests) pays K x the per-iteration mask work with
+    # none of the sync-amortization benefit (there is no scalar-core sync
+    # to hide off-TPU) — keep the CPU path at K=1; K>1 parity is covered
+    # by a dedicated small interpret test (tests/test_pallas.py).
+    bounce_mp = 1 if interpret else BOUNCE_MULTI_POP
+
     def scan_body(carry, b):
-        return bounce_step(carry, b, bounce_accel, split=False), None
+        return bounce_step(
+            carry, b, bounce_accel, split=False, mp=bounce_mp
+        ), None
 
     if remat:
         scan_body = jax.checkpoint(scan_body)
