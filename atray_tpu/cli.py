@@ -198,8 +198,10 @@ def cmd_render(args) -> int:
             settings = dataclasses.replace(settings, bounce_limit=args.bounces)
         if args.nee:
             settings = dataclasses.replace(settings, nee=True)
-        if args.sort_bounces:
-            settings = dataclasses.replace(settings, sort_bounces=True)
+        if args.sort_bounces is not None:
+            settings = dataclasses.replace(
+                settings, sort_bounces=args.sort_bounces
+            )
         if args.chunk is not None:
             settings = dataclasses.replace(settings, ray_chunk=args.chunk)
         if args.no_accel:
@@ -353,8 +355,10 @@ def main(argv=None) -> int:
     pr.add_argument("--bounces", type=int, default=0)
     pr.add_argument("--nee", action="store_true",
                     help="next-event estimation (explicit shadow rays)")
-    pr.add_argument("--sort-bounces", action="store_true",
-                    help="ray-queue compaction between bounces")
+    pr.add_argument("--sort-bounces", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="ray-queue compaction after the first diffuse "
+                         "bounce (ON by default; --no-sort-bounces disables)")
     pr.add_argument("--chunk", type=int, default=None,
                     help="trace rays in chunks of this many (device memory bound)")
     pr.add_argument("--no-accel", action="store_true",

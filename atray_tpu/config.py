@@ -25,9 +25,11 @@ class RenderSettings:
         (the runtime equivalent of the reference's USE_KD_TREE compile flag).
     ray_chunk: process rays in chunks of this many to bound device memory;
         0 means a single chunk (all rays at once).
-    sort_bounces: re-sort rays between bounces (dead-last, then direction
-        octant + spatial cell) to restore packet coherence — the
-        ray-queue compaction of SURVEY.md §5.7.
+    sort_bounces: one-shot ray-queue compaction (SURVEY.md §5.7): after
+        the first diffuse bounce, rays are stably re-ordered dead-last and
+        live rays grouped by origin cell — later bounces run dense,
+        origin-coherent blocks and fully-dead blocks skip. Bit-identical
+        to the unsorted render (PRNG streams are keyed by global ray id).
     nee: next-event estimation — explicit shadow rays to sphere lights at
         every hit (BASELINE config 2 'shadow rays'); cuts variance from
         small bright emitters dramatically.
@@ -39,7 +41,7 @@ class RenderSettings:
     anti_aliasing: bool = False
     use_accel: bool = True
     ray_chunk: int = 0
-    sort_bounces: bool = False
+    sort_bounces: bool = True
     nee: bool = False
 
     @property

@@ -40,18 +40,18 @@ def _wide_shade_kernel(
     rays_hbm,                        # ANY (7, rows, 128): o, d, alive
     cboxes_ref, clinks_ref, caxis_ref, tris_ref,
     out_hbm,                         # ANY (NOUT, rows, 128)
-    rblk_ref,                        # VMEM (7, 2S, 128)
-    oblk_ref,                        # VMEM (NOUT, 2S, 128)
-    stacks_ref,                      # SMEM (2, stack_cap)
+    rblk_ref,                        # VMEM (7, n_inter*S, 128)
+    oblk_ref,                        # VMEM (NOUT, n_inter*S, 128)
+    stacks_ref,                      # SMEM (n_inter, stack_cap)
     in_sem, out_sem,
     *, leaf_size: int, rows_per_leaf: int, block_sub: int, num_pairs: int,
-    octant_split: bool, multi_pop: int,
+    octant_split: bool, multi_pop: int, n_inter: int, ordered: bool,
 ):
     S = block_sub
 
     def process_pair(pair, _):
         copy_in = pltpu.make_async_copy(
-            rays_hbm.at[:, pl.ds(pair * 2 * S, 2 * S), :],
+            rays_hbm.at[:, pl.ds(pair * n_inter * S, n_inter * S), :],
             rblk_ref,
             in_sem,
         )
@@ -77,12 +77,12 @@ def _wide_shade_kernel(
             return m
 
         inf = jnp.float32(_INF)
-        oblk_ref[0] = jnp.full((2 * S, BLOCK_LANE), _INF, jnp.float32)
+        oblk_ref[0] = jnp.full((n_inter * S, BLOCK_LANE), _INF, jnp.float32)
         oblk_ref[1] = pltpu.bitcast(
-            jnp.full((2 * S, BLOCK_LANE), -1, jnp.int32), jnp.float32
+            jnp.full((n_inter * S, BLOCK_LANE), -1, jnp.int32), jnp.float32
         )
         for k in range(2, NOUT):
-            oblk_ref[k] = jnp.zeros((2 * S, BLOCK_LANE), jnp.float32)
+            oblk_ref[k] = jnp.zeros((n_inter * S, BLOCK_LANE), jnp.float32)
 
         def make_block(half: int, mask):
             """Traversal closures for one half; ``mask`` (S, 128) bool
@@ -241,9 +241,14 @@ def _wide_shade_kernel(
             the block's dominant direction is positive along that axis,
             so iterating 7..0 pushes far children first and the stack
             pops near-first — best_t tightens early and far subtrees
-            prune (Embree-style ordered traversal, one axis per node)."""
+            prune (Embree-style ordered traversal, one axis per node).
+            ``desc=None`` (static) skips the order math entirely — for
+            incoherent blocks whose lanes disagree on sign, the per-node
+            scalar ordering costs more than its pruning saves (measured
+            -15%, docs/KERNELS.md)."""
             sp = sp_popped
-            d7 = desc * 7   # desc in {0,1}: 7-cc == cc ^ 7 for 3-bit cc
+            # desc in {0,1}: 7-cc == cc ^ 7 for 3-bit cc
+            d7 = 0 if desc is None else desc * 7
             for cc in range(8):
                 c = cc ^ d7
                 link = clinks_ref[c, node]
@@ -262,13 +267,18 @@ def _wide_shade_kernel(
                 sp = sp + is_node.astype(jnp.int32)
             return sp
 
-        def run_pass(maskA, maskB):
-            """One interleaved two-block traversal over the lanes selected
-            by maskA/maskB. Halves with no selected lane start with an
-            empty stack (dead-block skip — the wavefront analog of the
-            reference's per-ray early break, renderer.cpp:227-231)."""
-            rmA, leafA = make_block(0, maskA)
-            rmB, leafB = make_block(1, maskB)
+        def run_pass(masks):
+            """One interleaved ``n_inter``-block traversal over the lanes
+            selected by ``masks`` (one (S, 128) bool per half). All halves'
+            mask pipelines issue before any half's scalar extract, so the
+            ~1 us vector→scalar syncs of up to ``n_inter`` independent
+            walks overlap (docs/KERNELS.md lesson 1). Halves with no
+            selected lane start with an empty stack (dead-block skip —
+            the wavefront analog of the reference's per-ray early break,
+            renderer.cpp:227-231)."""
+            blocks = [make_block(i, masks[i]) for i in range(n_inter)]
+            rm = [b[0] for b in blocks]
+            leaf = [b[1] for b in blocks]
 
             def dir_signs(half, mask):
                 """(sx, sy, sz) i32 0/1: sign of the block's mean live
@@ -282,37 +292,42 @@ def _wide_shade_kernel(
                     out.append((s > 0.0).astype(jnp.int32))
                 return out
 
-            sgnA = dir_signs(0, maskA)
-            sgnB = dir_signs(1, maskB)
+            if ordered:
+                sgn = [dir_signs(i, masks[i]) for i in range(n_inter)]
 
-            def desc_of(node, sgn):
-                axis = caxis_ref[0, node]
-                return jnp.where(
-                    axis == 0, sgn[0], jnp.where(axis == 1, sgn[1], sgn[2])
-                )
+                def desc_of(node, sg):
+                    axis = caxis_ref[0, node]
+                    return jnp.where(
+                        axis == 0, sg[0], jnp.where(axis == 1, sg[1], sg[2])
+                    )
+            else:
+                sgn = [None] * n_inter
+
+                def desc_of(node, sg):
+                    return None
 
             def wcond(state):
-                spA, spB = state
-                return (spA > 0) | (spB > 0)
+                alive = state[0] > 0
+                for sp in state[1:]:
+                    alive = alive | (sp > 0)
+                return alive
 
             def wbody(state):
-                spA, spB = state
-                liveA = spA > 0
-                liveB = spB > 0
-                popA = jnp.maximum(spA - 1, 0)
-                popB = jnp.maximum(spB - 1, 0)
-                nodeA = stacks_ref[0, popA]
-                nodeB = stacks_ref[1, popB]
-                mA_row = fold(rmA(nodeA))
-                mB_row = fold(rmB(nodeB))
-                mA = mA_row[0, 0]
-                mB = mB_row[0, 0]
-                newA = scalar_phase(0, liveA, popA, mA, nodeA, leafA,
-                                    desc_of(nodeA, sgnA))
-                newB = scalar_phase(1, liveB, popB, mB, nodeB, leafB,
-                                    desc_of(nodeB, sgnB))
-                return (jnp.where(liveA, newA, spA),
-                        jnp.where(liveB, newB, spB))
+                live = [sp > 0 for sp in state]
+                pops = [jnp.maximum(sp - 1, 0) for sp in state]
+                nodes = [stacks_ref[i, pops[i]] for i in range(n_inter)]
+                # all mask pipelines issue before any scalar extract
+                rows = [fold(rm[i](nodes[i])) for i in range(n_inter)]
+                ms = [row[0, 0] for row in rows]
+                new = [
+                    scalar_phase(i, live[i], pops[i], ms[i], nodes[i],
+                                 leaf[i], desc_of(nodes[i], sgn[i]))
+                    for i in range(n_inter)
+                ]
+                return tuple(
+                    jnp.where(live[i], new[i], state[i])
+                    for i in range(n_inter)
+                )
 
             def wbody_multi(state):
                 """Multi-pop iteration: up to ``multi_pop`` nodes per half
@@ -322,60 +337,53 @@ def _wide_shade_kernel(
                 ONE sync for K nodes. Invalid pops (stack shallower than
                 K) are masked to zero in the vector domain."""
                 K = multi_pop
-                spA, spB = state
-                liveA = spA > 0
-                liveB = spB > 0
-                nodesA = [stacks_ref[0, jnp.maximum(spA - 1 - k, 0)]
-                          for k in range(K)]
-                nodesB = [stacks_ref[1, jnp.maximum(spB - 1 - k, 0)]
-                          for k in range(K)]
-                packA = jnp.zeros((S, BLOCK_LANE), jnp.int32)
-                packB = jnp.zeros((S, BLOCK_LANE), jnp.int32)
-                for k in range(K):
-                    mkA = jnp.where(spA > k, rmA(nodesA[k]), 0)
-                    mkB = jnp.where(spB > k, rmB(nodesB[k]), 0)
-                    packA = packA | (mkA << (8 * k))
-                    packB = packB | (mkB << (8 * k))
-                mA = fold(packA)[0, 0]
-                mB = fold(packB)[0, 0]
-                baseA = jnp.maximum(spA - K, 0)
-                baseB = jnp.maximum(spB - K, 0)
+                live = [sp > 0 for sp in state]
+                nodes = [
+                    [stacks_ref[i, jnp.maximum(state[i] - 1 - k, 0)]
+                     for k in range(K)]
+                    for i in range(n_inter)
+                ]
+                packs = []
+                for i in range(n_inter):
+                    pk = jnp.zeros((S, BLOCK_LANE), jnp.int32)
+                    for k in range(K):
+                        mk = jnp.where(state[i] > k, rm[i](nodes[i][k]), 0)
+                        pk = pk | (mk << (8 * k))
+                    packs.append(pk)
+                ms = [fold(pk)[0, 0] for pk in packs]
+                bases = [jnp.maximum(sp - K, 0) for sp in state]
                 # reverse batch order so the nearest popped node's children
                 # land on top of the stack (preserves near-first popping)
                 for k in reversed(range(K)):
-                    okA = spA > k
-                    okB = spB > k
-                    baseA = jnp.where(
-                        okA,
-                        scalar_phase(0, okA, baseA, (mA >> (8 * k)) & 255,
-                                     nodesA[k], leafA,
-                                     desc_of(nodesA[k], sgnA)),
-                        baseA,
-                    )
-                    baseB = jnp.where(
-                        okB,
-                        scalar_phase(1, okB, baseB, (mB >> (8 * k)) & 255,
-                                     nodesB[k], leafB,
-                                     desc_of(nodesB[k], sgnB)),
-                        baseB,
-                    )
-                return (jnp.where(liveA, baseA, spA),
-                        jnp.where(liveB, baseB, spB))
+                    for i in range(n_inter):
+                        ok = state[i] > k
+                        bases[i] = jnp.where(
+                            ok,
+                            scalar_phase(i, ok, bases[i],
+                                         (ms[i] >> (8 * k)) & 255,
+                                         nodes[i][k], leaf[i],
+                                         desc_of(nodes[i][k], sgn[i])),
+                            bases[i],
+                        )
+                return tuple(
+                    jnp.where(live[i], bases[i], state[i])
+                    for i in range(n_inter)
+                )
 
-            stacks_ref[0, 0] = jnp.int32(0)
-            stacks_ref[1, 0] = jnp.int32(0)
-            liveA0 = jnp.max(maskA.astype(jnp.float32)) > 0.0
-            liveB0 = jnp.max(maskB.astype(jnp.float32)) > 0.0
+            init = []
+            for i in range(n_inter):
+                stacks_ref[i, 0] = jnp.int32(0)
+                live0 = jnp.max(masks[i].astype(jnp.float32)) > 0.0
+                init.append(jnp.where(live0, 1, 0).astype(jnp.int32))
             jax.lax.while_loop(
-                wcond, wbody if multi_pop == 1 else wbody_multi,
-                (jnp.where(liveA0, 1, 0).astype(jnp.int32),
-                 jnp.where(liveB0, 1, 0).astype(jnp.int32)),
+                wcond, wbody if multi_pop == 1 else wbody_multi, tuple(init)
             )
 
-        aliveA = rblk_ref[6, 0:S] > 0.0
-        aliveB = rblk_ref[6, S : 2 * S] > 0.0
+        alives = [
+            rblk_ref[6, i * S : (i + 1) * S] > 0.0 for i in range(n_inter)
+        ]
         if not octant_split:
-            run_pass(aliveA, aliveB)
+            run_pass(alives)
         else:
             # Octant-partitioned traversal for incoherent (bounce) rays:
             # 8 masked passes, each union-ing only same-octant lanes. A
@@ -394,18 +402,18 @@ def _wide_shade_kernel(
                     + 4 * (rblk_ref[5, lo : lo + S] > 0.0).astype(jnp.int32)
                 )
 
-            octA = octx(0)
-            octB = octx(1)
+            octs = [octx(i) for i in range(n_inter)]
 
             def opass(k, _):
-                run_pass(aliveA & (octA == k), aliveB & (octB == k))
+                run_pass([alives[i] & (octs[i] == k)
+                          for i in range(n_inter)])
                 return 0
 
             jax.lax.fori_loop(0, 8, opass, 0)
 
         copy_out = pltpu.make_async_copy(
             oblk_ref,
-            out_hbm.at[:, pl.ds(pair * 2 * S, 2 * S), :],
+            out_hbm.at[:, pl.ds(pair * n_inter * S, n_inter * S), :],
             out_sem,
         )
         copy_out.start()
@@ -417,7 +425,10 @@ def _wide_shade_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "block_sub", "octant_split", "multi_pop"),
+    static_argnames=(
+        "interpret", "block_sub", "octant_split", "multi_pop", "n_inter",
+        "ordered",
+    ),
 )
 def wide_shade_first_hit(
     swbvh: ShadedWideBVH,
@@ -428,6 +439,8 @@ def wide_shade_first_hit(
     block_sub: int = 8,
     octant_split: bool = False,
     multi_pop: int = 1,
+    n_inter: int = 2,
+    ordered: bool = True,
 ):
     """Fused nearest-hit + shading data.
 
@@ -442,10 +455,17 @@ def wide_shade_first_hit(
     for 4 nodes. Needs SMEM stack capacity ``num_nodes`` per half (the DFS
     depth bound no longer applies), so it is only valid for accels whose
     node count fits; the caller falls back to K=1 otherwise.
+    ``n_inter`` = independent block walks in flight per program iteration:
+    all walks' mask pipelines issue before any walk's scalar extract, so
+    their syncs overlap.
+    ``ordered=False`` pushes children in a fixed order instead of
+    near-first from the block's dominant direction sign — right for
+    incoherent blocks whose lanes disagree on sign (the per-node scalar
+    order math measured -15% there; ordering pays on coherent blocks).
     """
     n = orig.shape[0]
     block = block_sub * BLOCK_LANE
-    pad = (-n) % (2 * block)
+    pad = (-n) % (n_inter * block)
     if alive is None:
         alive_f = jnp.ones((n,), jnp.float32)
     else:
@@ -457,7 +477,7 @@ def wide_shade_first_hit(
         alive_f = jnp.concatenate([alive_f, jnp.zeros((pad,), jnp.float32)])
     total = orig.shape[0]
     rows = total // BLOCK_LANE
-    num_pairs = total // (2 * block)
+    num_pairs = total // (n_inter * block)
 
     rays = jnp.stack(
         [
@@ -481,8 +501,9 @@ def wide_shade_first_hit(
     if multi_pop > 1:
         # batch expansion breaks the DFS depth bound; the hard bound is
         # "every interior node on the stack at once". Cap SMEM use at
-        # ~0.5 MiB for the two stacks; larger accels fall back to K=1.
-        if swbvh.num_nodes + 8 > 65536:
+        # ~0.5 MiB across the n_inter stacks; larger accels fall back to
+        # K=1.
+        if swbvh.num_nodes + 8 > 131072 // n_inter:
             multi_pop = 1
         else:
             stack_cap = max(stack_cap, swbvh.num_nodes + 8)
@@ -495,6 +516,8 @@ def wide_shade_first_hit(
             num_pairs=num_pairs,
             octant_split=octant_split,
             multi_pop=multi_pop,
+            n_inter=n_inter,
+            ordered=ordered,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -506,9 +529,9 @@ def wide_shade_first_hit(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((NOUT, rows, BLOCK_LANE), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((7, 2 * block_sub, BLOCK_LANE), jnp.float32),
-            pltpu.VMEM((NOUT, 2 * block_sub, BLOCK_LANE), jnp.float32),
-            pltpu.SMEM((2, stack_cap), jnp.int32),
+            pltpu.VMEM((7, n_inter * block_sub, BLOCK_LANE), jnp.float32),
+            pltpu.VMEM((NOUT, n_inter * block_sub, BLOCK_LANE), jnp.float32),
+            pltpu.SMEM((n_inter, stack_cap), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

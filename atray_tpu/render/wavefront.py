@@ -488,7 +488,10 @@ def trace_radiance(
     renderer.cpp:222-259): ONE traced/compiled bounce body regardless of
     ``bounce_limit``. When the primary bounce wants a different kernel than
     later bounces (see ``_split_accel``), bounce 0 is peeled out of the
-    scan so that dispatch stays static. ``remat`` wraps the scanned body in
+    scan so that dispatch stays static. ``sort_rays`` peels the first
+    diffuse bounce as well and then compacts the wavefront ONCE
+    (``compact_state``) before scanning the rest — the measured-optimal
+    compaction schedule. ``remat`` wraps the scanned body in
     ``jax.checkpoint`` so reverse-mode differentiation stores only the
     per-bounce ray state (O(B·R)) and replays the traversal/shading inside
     each bounce — the path-replay backward of SURVEY.md §7.
@@ -711,26 +714,47 @@ def trace_radiance(
         return (sids.t < dist - 1.0e-3) & (~is_light)
 
     def sort_key(o, d, alive):
-        """Compaction key: dead rays last; live rays grouped by a FINE
-        direction bin (3 bits per axis — an octant is a 90-degree cone,
-        far too coarse to make a 1024-lane block traversal-coherent) then
-        a coarse spatial cell — restores packet coherence for bounce rays
-        (the wavefront analog of the reference's per-ray early-break,
-        SURVEY.md §5.7). Direction-major: a block of same-bin rays shares
-        the dominant sign the ordered traversal (kernels/wide_shade.py)
-        keys its near-first child order on."""
-        dq = jnp.clip((d * 0.5 + 0.5) * 7.0, 0.0, 7.0).astype(jnp.int32)
-        dbin = (dq[:, 0] << 6) | (dq[:, 1] << 3) | dq[:, 2]
+        """Compaction key: dead rays last; live rays grouped SPATIAL-major
+        (fine origin cell, 4 bits/axis over the mesh bounds) with the
+        direction octant as tiebreak. Measured (scripts/probe_r3.py,
+        dragon+floor, v5e): spatial-major is 2.8x on sparse late bounces
+        (84 vs 235 ms/2M) and 1.13x on the dense first diffuse bounce,
+        while the previous DIRECTION-major key was a 2x LOSS — a
+        block-synchronous walk cares about shared ray ORIGINS (one tree
+        region) far more than shared direction; direction-binning full
+        frames scatters origins and the per-block union explodes."""
         if scene.mesh.num_vertices > 0:
             v = scene.mesh.vertices
             lo = jnp.min(v, axis=0)
             hi = jnp.max(v, axis=0)
             q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
-            cell = (q * 3.0).astype(jnp.int32)
+            cell = (q * 15.0).astype(jnp.int32)
         else:
             cell = jnp.zeros(o.shape, jnp.int32)
-        key_ = (dbin << 6) | (cell[:, 0] << 4) | (cell[:, 1] << 2) | cell[:, 2]
+        octd = (
+            (d[:, 0] > 0).astype(jnp.int32) * 4
+            + (d[:, 1] > 0).astype(jnp.int32) * 2
+            + (d[:, 2] > 0).astype(jnp.int32)
+        )
+        key_ = (
+            ((cell[:, 0] << 4 | cell[:, 1]) << 4 | cell[:, 2]) << 3
+        ) | octd
         return jnp.where(alive, key_, jnp.int32(1) << 30)
+
+    def compact_state(state):
+        """One-shot ray-queue compaction (SURVEY.md §5.7): stable argsort
+        by ``sort_key`` — live rays densify into full blocks (dead blocks
+        then skip via the kernel's alive plane) grouped by origin cell.
+        Costs one argsort + a 14-column apply (~96 ms / 2M rays on v5e),
+        which pays ONCE: the state stays compacted for every later bounce
+        (survivors are a subset of the live region). Radiance is restored
+        to ray order at the end via the carried global ids."""
+        o, d, weight, color, alive, gid, rc = state
+        perm = jnp.argsort(sort_key(o, d, alive), stable=True)
+        return (
+            o[perm], d[perm], weight[perm], color[perm], alive[perm],
+            gid[perm], rc,
+        )
 
     def bounce_step(state, b, accel_, split=False, mp=1):
         """One wavefront bounce. ``b`` may be a static int (peeled primary)
@@ -826,13 +850,6 @@ def trace_radiance(
         # all-dead blocks skip traversal entirely via the alive plane
         o = jnp.where(alive[:, None], o, 1.0e7)
         d = jnp.where(alive[:, None], d, jnp.asarray([0.0, 0.0, 1.0]))
-
-        if sort_rays:
-            perm = jnp.argsort(sort_key(o, d, alive))
-            o, d, weight, color, alive, gid = (
-                o[perm], d[perm], weight[perm], color[perm], alive[perm],
-                gid[perm],
-            )
         return (o, d, weight, color, alive, gid, rc)
 
     state = (
@@ -868,6 +885,24 @@ def trace_radiance(
     if needs_peel and bounce_limit > 0:
         state = bounce_step(state, 0, primary_accel)
         start = 1
+    if sort_rays and bounce_limit > start + 1:
+        # Run the first diffuse bounce at full wavefront, then compact
+        # ONCE: its survivors (and all later bounces' — they are subsets)
+        # run dense, origin-grouped blocks; dead blocks skip. Sorting
+        # BEFORE the first diffuse bounce measured a net loss (camera
+        # hit points are already film-tile coherent). The bounce is
+        # "peeled" as a ONE-iteration scan of the SAME body as the main
+        # scan — NOT an inlined call: an inlined bounce fuses into its
+        # surroundings and rounds differently from the identical math
+        # inside lax.scan (~1 ULP, shape-dependent), which would break
+        # the "bit-identical to the unsorted render" guarantee. Scan
+        # bodies are fusion-isolated, so split-scan + exact compaction
+        # gathers reproduces the single-scan bits exactly.
+        state, _ = jax.lax.scan(
+            scan_body, state, jnp.arange(start, start + 1)
+        )
+        start += 1
+        state = compact_state(state)
     if bounce_limit > start:
         state, _ = jax.lax.scan(
             scan_body, state, jnp.arange(start, bounce_limit)

@@ -64,7 +64,7 @@ def main() -> None:
     reps = int(os.environ.get("ATRAY_BENCH_REPS", "2"))
     bounces = int(os.environ.get("ATRAY_BENCH_BOUNCES", "5"))
     leaf = int(os.environ.get("ATRAY_BENCH_LEAF", "16"))
-    sort = os.environ.get("ATRAY_BENCH_SORT", "0") == "1"
+    sort = os.environ.get("ATRAY_BENCH_SORT", "1") == "1"
     w, h = (int(x) for x in res.split("x"))
 
     mats = make_materials([
