@@ -742,18 +742,47 @@ def trace_radiance(
         return jnp.where(alive, key_, jnp.int32(1) << 30)
 
     def compact_state(state):
-        """One-shot ray-queue compaction (SURVEY.md §5.7): stable argsort
-        by ``sort_key`` — live rays densify into full blocks (dead blocks
-        then skip via the kernel's alive plane) grouped by origin cell.
-        Costs one argsort + a 14-column apply (~96 ms / 2M rays on v5e),
-        which pays ONCE: the state stays compacted for every later bounce
-        (survivors are a subset of the live region). Radiance is restored
-        to ray order at the end via the carried global ids."""
+        """One-shot ray-queue compaction (SURVEY.md §5.7) at ROW (128-ray)
+        granularity: rows are reordered by the min live ``sort_key`` in the
+        row, so live rows densify up front grouped by origin cell and
+        all-dead rows sink to the tail (where whole blocks skip via the
+        kernel's alive plane). Row granularity is the measured-optimal
+        cut (scripts/probe_r7.py, v5e, 2M rays x 14 state columns):
+        per-RAY argsort+apply 249.7 ms vs ROW 26.7 ms, while the coarser
+        grouping costs only ~22 ms of later-bounce traversal — the sort
+        network on 2M elements dominates, and sorting 16k row keys is
+        noise with the apply moving contiguous 512-byte rows. Little is
+        lost because the traversal unions at block (8-row) granularity
+        and dead-block skip also acts per block, and within a row the
+        post-bounce rays are already neighbors from the same film tile.
+        Pays ONCE: the
+        state stays compacted for every later bounce (survivors are a
+        subset of the live rows). Radiance is restored to ray order at
+        the end via the carried global ids."""
         o, d, weight, color, alive, gid, rc = state
-        perm = jnp.argsort(sort_key(o, d, alive), stable=True)
+        keys = sort_key(o, d, alive)
+        n = keys.shape[0]
+        lane = 128
+        if n % lane == 0 and n >= 4 * lane:
+            rows = n // lane
+            rperm = jnp.argsort(
+                jnp.min(keys.reshape(rows, lane), axis=1), stable=True
+            )
+
+            def take(x):
+                return x.reshape((rows, lane) + x.shape[1:])[rperm].reshape(
+                    x.shape
+                )
+        else:
+            # tiny or ragged wavefronts (tests, small shards): per-ray sort
+            perm = jnp.argsort(keys, stable=True)
+
+            def take(x):
+                return x[perm]
+
         return (
-            o[perm], d[perm], weight[perm], color[perm], alive[perm],
-            gid[perm], rc,
+            take(o), take(d), take(weight), take(color), take(alive),
+            take(gid), rc,
         )
 
     def bounce_step(state, b, accel_, split=False, mp=1):
