@@ -572,9 +572,27 @@ def trace_radiance(
         return _fused_cache[k]
 
     def _onehot_rows(idx, table):
-        """Gather-free row pickup for SMALL tables: one-hot (R, K) matmul
-        against (K, C) — rides the MXU instead of the slow gather path."""
+        """Gather-free row pickup for SMALL tables.
+
+        k <= 16: a chain of per-row selects — pure elementwise, fuses into
+        the surrounding shade arithmetic. Do NOT use a one-hot matmul
+        here: XLA materializes the (R, k) one-hot pred as a convolution
+        operand in a scalar-looped bool tiling that runs at ~50 MB/s —
+        measured 249 ms of a 340 ms single-bounce 1080p frame
+        (scripts/probe_r10.py HLO trace, v5e). Larger tables (none in
+        production scenes today) keep the matmul, which beats a k-deep
+        select chain once k is big."""
         k = table.shape[0]
+        if k <= 16:
+            out = jnp.broadcast_to(
+                table[0], idx.shape + table.shape[1:]
+            ).astype(table.dtype)
+            for j in range(1, k):
+                pick = idx == j
+                if table.ndim > 1:
+                    pick = pick[:, None]
+                out = jnp.where(pick, table[j], out)
+            return out
         oh = (idx[:, None] == jnp.arange(k)[None, :]).astype(table.dtype)
         return oh @ table
 
@@ -757,8 +775,14 @@ def trace_radiance(
         post-bounce rays are already neighbors from the same film tile.
         Pays ONCE: the
         state stays compacted for every later bounce (survivors are a
-        subset of the live rows). Radiance is restored to ray order at
-        the end via the carried global ids."""
+        subset of the live rows).
+
+        Returns ``(state, restore)`` where ``restore(color)`` undoes the
+        permutation via an INVERSE-permutation GATHER — never an XLA
+        scatter: the old ``zeros.at[gid].set(color)`` restore lowered to
+        a 4.15M-row scatter costing 249 ms of a 342 ms single-bounce
+        frame (scripts/probe_r10.py HLO trace), and inverting the 16k
+        row permutation is a trivial second argsort."""
         o, d, weight, color, alive, gid, rc = state
         keys = sort_key(o, d, alive)
         n = keys.shape[0]
@@ -768,22 +792,30 @@ def trace_radiance(
             rperm = jnp.argsort(
                 jnp.min(keys.reshape(rows, lane), axis=1), stable=True
             )
+            inv = jnp.argsort(rperm)
 
-            def take(x):
-                return x.reshape((rows, lane) + x.shape[1:])[rperm].reshape(
+            def take(x, p=rperm):
+                return x.reshape((rows, lane) + x.shape[1:])[p].reshape(
                     x.shape
                 )
+
+            def restore(c):
+                return take(c, p=inv)
         else:
             # tiny or ragged wavefronts (tests, small shards): per-ray sort
             perm = jnp.argsort(keys, stable=True)
+            inv = jnp.argsort(perm)
 
-            def take(x):
-                return x[perm]
+            def take(x, p=perm):
+                return x[p]
+
+            def restore(c):
+                return c[inv]
 
         return (
             take(o), take(d), take(weight), take(color), take(alive),
             take(gid), rc,
-        )
+        ), restore
 
     def bounce_step(state, b, accel_, split=False, mp=1):
         """One wavefront bounce. ``b`` may be a static int (peeled primary)
@@ -931,15 +963,17 @@ def trace_radiance(
             scan_body, state, jnp.arange(start, start + 1)
         )
         start += 1
-        state = compact_state(state)
+        state, restore = compact_state(state)
+    else:
+        restore = None
     if bounce_limit > start:
         state, _ = jax.lax.scan(
             scan_body, state, jnp.arange(start, bounce_limit)
         )
 
     o, d, weight, color, alive, gid, rays_cast = state
-    if sort_rays:
-        color = jnp.zeros_like(color).at[gid - gid0].set(color)
+    if restore is not None:
+        color = restore(color)
     if return_stats:
         return color, {"rays_cast": rays_cast}
     return color

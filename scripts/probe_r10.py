@@ -1,0 +1,97 @@
+"""Round-2 probe #10: device-trace the production 1-bounce render.
+
+probe_r9: the same pipeline hand-fused runs at 62 ms; production render()
+takes 340 ms. Capture a profiler trace of the production B=1 frame and
+aggregate XLA op durations to name the thief.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/probe_r10.py
+"""
+
+import glob
+import gzip
+import json
+import os
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("ATRAY_JAX_CACHE", os.path.expanduser("~/.cache/jax_atray")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from atray_tpu.accel.shaded import build_shaded_accel
+from atray_tpu.config import KDTreeConfig, RenderSettings
+from atray_tpu.core.camera import look_at_camera
+from atray_tpu.render.wavefront import render
+from atray_tpu.scene import build_scene, procedural
+from atray_tpu.scene.data import Planes, make_materials
+from atray_tpu.scene.transforms import translate
+
+W, H = 1920, 1080
+TRACE_DIR = "/tmp/atray_trace"
+
+
+def main():
+    print("device:", jax.devices()[0])
+    mats = make_materials([
+        ((0.35, 0.45, 0.65), (0.0, 0.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0), (0.75, 0.55, 0.35), 0.15),
+        ((0.0, 0.0, 0.0), (0.6, 0.6, 0.65), 0.0),
+    ])
+    dragon = translate(
+        procedural.dragon_proxy(target_tris=139000, material=1),
+        (0.0, 0.0, -4.0),
+    )
+    planes = Planes(
+        normals=jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+        offsets=jnp.asarray([-1.8], jnp.float32),
+        material_id=jnp.asarray([2], jnp.int32),
+    )
+    scene = build_scene([dragon], planes=planes, materials=mats)
+    accel = build_shaded_accel(scene, KDTreeConfig(leaf_size=16))
+    cam = look_at_camera(
+        (0.0, 1.0, 0.8), (0.0, 0.0, -4.0), h_fov=0.9, aspect=W / H
+    )
+    s = RenderSettings(resolution=(W, H), samples_per_pixel=2, bounce_limit=1,
+                       ray_chunk=0, sort_bounces=True)
+    f = jax.jit(lambda k: render(scene, cam, s, k, accel=accel))
+    key = jax.random.PRNGKey(0)
+    jax.block_until_ready(f(key))  # warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(key))
+    print(f"warm run: {(time.perf_counter()-t0)*1e3:.1f} ms")
+
+    os.makedirs(TRACE_DIR, exist_ok=True)
+    with jax.profiler.trace(TRACE_DIR, create_perfetto_trace=True):
+        jax.block_until_ready(f(key))
+
+    # find the perfetto trace json
+    paths = glob.glob(os.path.join(TRACE_DIR, "**", "*.trace.json.gz"),
+                      recursive=True)
+    paths.sort(key=os.path.getmtime)
+    assert paths, "no perfetto trace written"
+    with gzip.open(paths[-1], "rt") as fh:
+        tr = json.load(fh)
+
+    # aggregate complete events by name, per pid/tid group
+    by_name = defaultdict(float)
+    total = 0.0
+    for ev in tr.get("traceEvents", []):
+        if ev.get("ph") != "X":
+            continue
+        name = ev.get("name", "?")
+        dur = ev.get("dur", 0) / 1e3  # us -> ms
+        by_name[name] += dur
+        total += dur
+    print(f"\ntop ops by accumulated duration (total {total:.1f} ms incl. "
+          f"overlapping rows):")
+    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"  {dur:9.2f} ms  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
