@@ -4,3 +4,9 @@ from atray_tpu.dist.mesh import (
     trace_sharded,
 )
 from atray_tpu.dist.train import make_train_step
+from atray_tpu.dist.treelet import (
+    build_treelet_accels,
+    build_treelet_parts,
+    build_treelets,
+    render_treelet,
+)

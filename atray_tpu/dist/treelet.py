@@ -23,9 +23,19 @@ treelet is tested first — ties between equal-t hits may break differently).
 The per-hop local query here is the brute-force Möller–Trumbore batch
 (core/intersect.py) over the treelet's padded record table — the oracle
 path. NEE shadow rays ride a second, leaner ring (``ring_occlusion_t``).
-Visibility is forward-only (records detached); gradients for
-treelet-scale scenes would come from replaying hits against sharded
-parameters, a future round.
+
+Gradients (sharded-parameter path replay): pass a ``TreeletParts`` to
+``render_treelet`` and the record tables are built IN-GRAPH from the scene
+(``treelet_records``), so they are a differentiable function of
+vertices/normals/materials. The discrete ring (which face wins) stays
+detached — same convention as the replicated ``nearest_hit_ids`` — and the
+continuous recompute gathers each home ray's winning record row through a
+SECOND, differentiable ppermute ring (``diff_row_pickup``): the row gather
+against the resident shard is the sharded analog of the replicated path's
+face-table row gather, and its transpose (a scatter-add into the owning
+shard, then back through ``treelet_records`` into the scene parameters)
+is derived automatically. Inverse rendering therefore works on scenes
+whose geometry never fits one chip.
 """
 
 from __future__ import annotations
@@ -104,6 +114,101 @@ def build_treelets(scene: Scene, n_parts: int) -> TreeletGeom:
         recs[i, : len(idx)] = ft[idx]
         recs[i, len(idx):, 19] = -1.0
     return TreeletGeom(recs=jnp.asarray(recs))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TreeletParts:
+    """Static spatial partition of the face set — the DIFFERENTIABLE
+    treelet backend's build product. Only indices live here; the actual
+    record tables are rebuilt in-graph from the scene every call
+    (``treelet_records``), so gradients flow from rendered pixels back to
+    vertices/normals/materials of a geometry-sharded scene.
+
+    ``idx``: (P, Tpad) i32 — face indices per part, -1 pad.
+    ``g2l``: (P, T) i32 — global face id -> local row in that part's
+    table, or -1 when the part does not own the face. Each device's shard
+    of ``g2l`` lets the backward row-pickup ring decide ownership locally.
+    """
+
+    idx: jnp.ndarray
+    g2l: jnp.ndarray
+
+    @property
+    def num_parts(self) -> int:
+        return self.idx.shape[0]
+
+
+def build_treelet_parts(scene: Scene, n_parts: int) -> TreeletParts:
+    """Host-side spatial partition (indices only) for the differentiable
+    treelet path."""
+    parts = partition_faces(
+        np.asarray(scene.mesh.vertices), np.asarray(scene.mesh.faces), n_parts
+    )
+    t = int(scene.mesh.num_faces)
+    tpad = max(1, max(len(p) for p in parts))
+    idx = np.full((n_parts, tpad), -1, np.int32)
+    g2l = np.full((n_parts, max(1, t)), -1, np.int32)
+    for i, p in enumerate(parts):
+        idx[i, : len(p)] = p
+        g2l[i, p] = np.arange(len(p), dtype=np.int32)
+    return TreeletParts(idx=jnp.asarray(idx), g2l=jnp.asarray(g2l))
+
+
+def treelet_records(scene: Scene, parts: TreeletParts) -> jnp.ndarray:
+    """(P, Tpad, 20) per-part record tables built IN-GRAPH: a jnp gather of
+    ``build_face_table(scene)`` rows by the static partition indices, so the
+    result is a differentiable function of the scene parameters (the
+    backward scatters row cotangents into d(vertices)/d(normals)). Pad
+    rows are zero (degenerate — can never hit) with face id -1; real rows
+    carry their GLOBAL face id in the pad slot (col 19)."""
+    ft = build_face_table(scene)
+    if ft is None:
+        raise ValueError("treelet sharding needs a non-empty mesh")
+    t = ft.shape[0]
+    ft = ft.at[:, 19].set(jnp.arange(t, dtype=jnp.float32))
+    safe = jnp.clip(parts.idx, 0, t - 1)
+    recs = ft[safe]                                    # (P, Tpad, 20)
+    pad = (parts.idx < 0)[:, :, None]
+    pad_row = jnp.zeros((20,), jnp.float32).at[19].set(-1.0)
+    return jnp.where(pad, pad_row, recs)
+
+
+def diff_row_pickup(
+    recs_local: jnp.ndarray,   # (1, Tpad, 20) — THIS device's record shard
+    g2l_local: jnp.ndarray,    # (1, T) i32 — THIS device's ownership map
+    fid: jnp.ndarray,          # (R,) i32 global winning face ids (detached)
+    n_parts: int,
+    axis_name: str = "rays",
+) -> jnp.ndarray:
+    """DIFFERENTIABLE gather of each home ray's winning record row from
+    whichever device owns the face: (fid, row) ride the ring; at each hop
+    the resident device fills in rows it owns (``g2l`` says which). After
+    ``n_parts`` hops every ray is home carrying its row. ``ppermute`` and
+    the per-hop shard gather are both linear, so reverse-mode derives the
+    exact transpose: row cotangents ride the ring back and scatter-add
+    into the owning shard's ``recs`` — the sharded face-table gather of
+    the replicated path (resolve_hit). Rays with fid < 0 keep a zero row.
+    """
+    r = fid.shape[0]
+    tpad = recs_local.shape[1]
+    t = g2l_local.shape[1]
+    perm = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+
+    def hop(_, st):
+        f, row = st
+        loc = g2l_local[0, jnp.clip(f, 0, t - 1)]
+        own = (f >= 0) & (loc >= 0)
+        mine = recs_local[0, jnp.clip(loc, 0, tpad - 1)]
+        row = jnp.where(own[:, None], mine, row)
+        f = jax.lax.ppermute(f, axis_name, perm)
+        row = jax.lax.ppermute(row, axis_name, perm)
+        return f, row
+
+    _, row = jax.lax.fori_loop(
+        0, n_parts, hop, (fid, jnp.zeros((r, 20), recs_local.dtype))
+    )
+    return row
 
 
 @jax.tree_util.register_dataclass
@@ -427,7 +532,9 @@ def render_treelet(
     (from ``build_treelet_accels``) runs each hop through the fused
     wide-BVH Pallas kernel — the production path; a ``TreeletGeom`` (or
     None, the default) brute-forces Möller–Trumbore over the treelet's
-    records — the oracle path.
+    records — the oracle path; a ``TreeletParts`` rebuilds the record
+    tables in-graph and is DIFFERENTIABLE w.r.t. the scene parameters
+    (sharded-parameter path replay — inverse rendering at treelet scale).
     """
     n_dev = int(mesh.devices.size)
     if treelets is None:
@@ -438,6 +545,11 @@ def render_treelet(
         )
     if isinstance(treelets, TreeletAccels):
         return _render_treelet_accel(
+            scene, camera, settings, key, mesh, treelets, axis_name,
+            return_stats,
+        )
+    if isinstance(treelets, TreeletParts):
+        return _render_treelet_diff(
             scene, camera, settings, key, mesh, treelets, axis_name,
             return_stats,
         )
@@ -499,6 +611,126 @@ def render_treelet(
         return color, stats["rays_cast"][None]
 
     color, rc_shards = _run(orig, dirn, ray_ids, treelets.recs)
+    color = color[:n]
+    color = from_tile_order(color, w, h, spp)
+    film = color.reshape(spp, h, w, 3).mean(axis=0)
+    film = jnp.clip(film, 0.0, 1.0)
+    if return_stats:
+        return film, {
+            "rays_cast": jnp.sum(rc_shards),
+            "rays_cast_per_shard": rc_shards,
+        }
+    return film
+
+
+def _render_treelet_diff(
+    scene: Scene,
+    camera: Camera,
+    settings: RenderSettings,
+    key: jax.Array,
+    mesh: Mesh,
+    parts: TreeletParts,
+    axis_name: str,
+    return_stats: bool,
+):
+    """Differentiable variant of ``render_treelet``: the record tables are
+    a jnp function of the scene (``treelet_records``), the discrete ring
+    answers WHICH face wins (detached), and each ray's continuous
+    (t, normal, material) is replayed from its winning row fetched by the
+    differentiable ``diff_row_pickup`` ring — so ``jax.grad`` through this
+    render reaches vertices/normals/materials that are sharded over the
+    device mesh and never resident on any single chip."""
+    n_dev = int(mesh.devices.size)
+    recs = treelet_records(scene, parts)           # in-graph: (P, Tpad, 20)
+
+    w, h = settings.resolution
+    spp = settings.samples_per_pixel
+    aa_key, bounce_key = jax.random.split(key)
+    orig, dirn = camera_rays(
+        camera, w, h, spp,
+        key=aa_key if settings.anti_aliasing else None,
+        anti_aliasing=settings.anti_aliasing,
+    )
+    orig = to_tile_order(orig, w, h, spp)
+    dirn = to_tile_order(dirn, w, h, spp)
+    n = orig.shape[0]
+    ray_ids = jnp.arange(n, dtype=jnp.int32)
+
+    pad = (-n) % n_dev
+    if pad:
+        orig = jnp.concatenate([orig, jnp.full((pad, 3), 1.0e7, orig.dtype)])
+        dirn = jnp.concatenate(
+            [dirn, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dirn.dtype),
+                            (pad, 1))]
+        )
+        ray_ids = jnp.concatenate(
+            [ray_ids, n + jnp.arange(pad, dtype=jnp.int32)]
+        )
+
+    from atray_tpu.scene.data import empty_mesh
+
+    lean = dataclasses.replace(scene, mesh=empty_mesh())
+    tpad = recs.shape[1]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name)),
+        check_vma=False,
+    )
+    def _run(o, d, ids, recs_l, g2l_l):
+        def override(o_, d_, alive):
+            # discrete: which face wins (detached — visibility convention)
+            _, _, _, _, fid = ring_first_hit(
+                jax.lax.stop_gradient(recs_l),
+                jax.lax.stop_gradient(o_), jax.lax.stop_gradient(d_),
+                n_parts=n_dev, axis_name=axis_name,
+            )
+            fid = jax.lax.stop_gradient(fid)
+            # continuous: replay from the winning row (differentiable ring
+            # gather — the sharded face-table row pickup)
+            row = diff_row_pickup(
+                recs_l, g2l_l, fid, n_parts=n_dev, axis_name=axis_name
+            )
+            tt, u, v, _ = moller_trumbore(
+                o_, d_, row[:, 0:3], row[:, 3:6], row[:, 6:9]
+            )
+            w0 = (1.0 - u - v)[:, None]
+            nrm = normalize(
+                w0 * row[:, 9:12]
+                + u[:, None] * row[:, 12:15]
+                + v[:, None] * row[:, 15:18]
+            )
+            mat = jax.lax.stop_gradient(row[:, 18]).astype(jnp.int32)
+            # demote lanes whose replay missed (grazing-hit epsilon
+            # disagreement) — keeping them "hit" would poison reverse
+            # mode with INF * 0 (same guard as resolve_hit)
+            hit = (fid >= 0) & (tt < 1.0e30)
+            return (
+                jnp.where(hit, tt, INF),
+                jnp.where(hit[:, None], nrm, 0.0),
+                jnp.where(hit, mat, 0),
+                hit,
+            )
+
+        def occl(o_, d_, live):
+            return ring_occlusion_t(
+                jax.lax.stop_gradient(recs_l), o_, d_,
+                n_parts=n_dev, axis_name=axis_name,
+            )
+
+        color, stats = trace_radiance(
+            lean, o, d, settings.bounce_limit, key=bounce_key,
+            sort_rays=settings.sort_bounces, nee=settings.nee,
+            return_stats=True, ray_ids=ids, hit_override=override,
+            occl_override=occl,
+        )
+        return color, stats["rays_cast"][None]
+
+    del tpad
+    color, rc_shards = _run(orig, dirn, ray_ids, recs, parts.g2l)
     color = color[:n]
     color = from_tile_order(color, w, h, spp)
     film = color.reshape(spp, h, w, 3).mean(axis=0)
