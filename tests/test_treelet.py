@@ -273,3 +273,57 @@ def test_treelet_diff_grads_match_replicated(devices):
     assert max(
         float(jnp.max(jnp.abs(leaf))) for leaf in leaves2
     ) > 1e-4
+
+
+def test_treelet_inverse_albedo_recovers(devices):
+    # BASELINE config 5 at treelet scale: recover a material albedo by
+    # gradient descent THROUGH the geometry-sharded renderer — the scene
+    # parameters are never resident on a single device during the hit
+    # queries, yet jax.grad drives them toward the truth.
+    import optax
+
+    scene = _scene(rows=8, cols=8)
+    cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    s = RenderSettings(
+        resolution=(16, 16), samples_per_pixel=1, bounce_limit=2,
+        sort_bounces=False,
+    )
+    mesh = make_device_mesh()
+    parts = build_treelet_parts(scene, mesh.devices.size)
+    key = jax.random.PRNGKey(7)
+
+    target = render_treelet(scene, cam, s, key, mesh, treelets=parts)
+
+    import dataclasses as _dc
+
+    p0 = scene.params()
+    true_albedo = jnp.asarray(p0.albedo)[1]
+
+    def loss(a1):
+        p = _dc.replace(
+            p0, albedo=jnp.asarray(p0.albedo).at[1].set(a1)
+        )
+        f = render_treelet(
+            scene.with_params(p), cam, s, key, mesh, treelets=parts
+        )
+        return jnp.mean((f - target) ** 2)
+
+    a1 = jnp.asarray([0.2, 0.7, 0.6])
+    opt = optax.adam(0.05)
+    st = opt.init(a1)
+
+    @jax.jit
+    def step(a, st_):
+        lv, g = jax.value_and_grad(loss)(a)
+        updates, st_ = opt.update(g, st_, a)
+        return optax.apply_updates(a, updates), st_, lv
+
+    l0 = None
+    for _ in range(40):
+        a1, st, lv = step(a1, st)
+        if l0 is None:
+            l0 = float(lv)
+    l1 = float(lv)
+    assert l1 < l0 * 0.2, (l0, l1)
+    err = float(jnp.abs(a1 - true_albedo).max())
+    assert err < 0.15, err
