@@ -24,7 +24,7 @@ The per-hop local query here is the brute-force Möller–Trumbore batch
 (core/intersect.py) over the treelet's padded record table — the oracle
 path. NEE shadow rays ride a second, leaner ring (``ring_occlusion_t``).
 
-Gradients (sharded-parameter path replay): pass a ``TreeletParts`` to
+Gradients (sharded path replay): pass a ``TreeletParts`` to
 ``render_treelet`` and the record tables are built IN-GRAPH from the scene
 (``treelet_records``), so they are a differentiable function of
 vertices/normals/materials. The discrete ring (which face wins) stays
@@ -33,9 +33,15 @@ continuous recompute gathers each home ray's winning record row through a
 SECOND, differentiable ppermute ring (``diff_row_pickup``): the row gather
 against the resident shard is the sharded analog of the replicated path's
 face-table row gather, and its transpose (a scatter-add into the owning
-shard, then back through ``treelet_records`` into the scene parameters)
-is derived automatically. Inverse rendering therefore works on scenes
-whose geometry never fits one chip.
+shard) is derived automatically. NOTE on residency: ``TreeletParts`` is
+gradient-correct but its parameters stay REPLICATED (the face table is
+gathered from the full scene in the global program — only ray-side work
+is sharded). For scenes whose geometry must never be resident on one
+chip, use ``TreeletShards`` (``build_treelet_shards``): the vertex/normal
+slices are born P-sharded, each device builds its record table inside
+shard_map from its own slices (``shard_records``), and gradients land on
+the per-shard copies (``merge_vertex_grads`` reconciles duplicated
+boundary vertices).
 """
 
 from __future__ import annotations
@@ -123,36 +129,58 @@ class TreeletParts:
     treelet backend's build product. Only indices live here; the actual
     record tables are rebuilt in-graph from the scene every call
     (``treelet_records``), so gradients flow from rendered pixels back to
-    vertices/normals/materials of a geometry-sharded scene.
+    vertices/normals/materials. NOTE: this backend is gradient-correct
+    under geometry sharding but its PARAMETERS stay replicated (the scene
+    pytree is visible on every device); for true sharded parameter
+    residency use ``TreeletShards``/``build_treelet_shards``.
 
     ``idx``: (P, Tpad) i32 — face indices per part, -1 pad.
-    ``g2l``: (P, T) i32 — global face id -> local row in that part's
-    table, or -1 when the part does not own the face. Each device's shard
-    of ``g2l`` lets the backward row-pickup ring decide ownership locally.
+    ``owner``: (T,) i32 — owning part per global face id.
+    ``lrow``: (T,) i32 — local row of that face in its owner's table.
+    (Two O(T) arrays instead of a dense (P, T) ownership map — the map
+    has only T non-(-1) entries, so O(P*T) storage would dominate the
+    very memory budget this path exists to relieve.)
     """
 
     idx: jnp.ndarray
-    g2l: jnp.ndarray
+    owner: jnp.ndarray
+    lrow: jnp.ndarray
 
     @property
     def num_parts(self) -> int:
         return self.idx.shape[0]
 
 
+def _check_fid_precision(num_faces: int) -> None:
+    """Global face ids ride f32 record slots (col 19) — exact only below
+    2^24. Fail loudly instead of silently corrupting ownership lookups."""
+    if num_faces >= 2 ** 24:
+        raise ValueError(
+            f"treelet face ids ride f32 record slots, exact only below "
+            f"2^24; scene has {num_faces} faces — carry fid in a separate "
+            f"i32 plane before going this large"
+        )
+
+
 def build_treelet_parts(scene: Scene, n_parts: int) -> TreeletParts:
     """Host-side spatial partition (indices only) for the differentiable
     treelet path."""
+    _check_fid_precision(int(scene.mesh.num_faces))
     parts = partition_faces(
         np.asarray(scene.mesh.vertices), np.asarray(scene.mesh.faces), n_parts
     )
     t = int(scene.mesh.num_faces)
     tpad = max(1, max(len(p) for p in parts))
     idx = np.full((n_parts, tpad), -1, np.int32)
-    g2l = np.full((n_parts, max(1, t)), -1, np.int32)
+    owner = np.zeros((max(1, t),), np.int32)
+    lrow = np.zeros((max(1, t),), np.int32)
     for i, p in enumerate(parts):
         idx[i, : len(p)] = p
-        g2l[i, p] = np.arange(len(p), dtype=np.int32)
-    return TreeletParts(idx=jnp.asarray(idx), g2l=jnp.asarray(g2l))
+        owner[p] = i
+        lrow[p] = np.arange(len(p), dtype=np.int32)
+    return TreeletParts(
+        idx=jnp.asarray(idx), owner=jnp.asarray(owner), lrow=jnp.asarray(lrow)
+    )
 
 
 def treelet_records(scene: Scene, parts: TreeletParts) -> jnp.ndarray:
@@ -166,6 +194,7 @@ def treelet_records(scene: Scene, parts: TreeletParts) -> jnp.ndarray:
     if ft is None:
         raise ValueError("treelet sharding needs a non-empty mesh")
     t = ft.shape[0]
+    _check_fid_precision(t)
     ft = ft.at[:, 19].set(jnp.arange(t, dtype=jnp.float32))
     safe = jnp.clip(parts.idx, 0, t - 1)
     recs = ft[safe]                                    # (P, Tpad, 20)
@@ -176,30 +205,34 @@ def treelet_records(scene: Scene, parts: TreeletParts) -> jnp.ndarray:
 
 def diff_row_pickup(
     recs_local: jnp.ndarray,   # (1, Tpad, 20) — THIS device's record shard
-    g2l_local: jnp.ndarray,    # (1, T) i32 — THIS device's ownership map
+    owner: jnp.ndarray,        # (T,) i32 — owning part per global face id
+    lrow: jnp.ndarray,         # (T,) i32 — local row in the owner's table
     fid: jnp.ndarray,          # (R,) i32 global winning face ids (detached)
     n_parts: int,
     axis_name: str = "rays",
 ) -> jnp.ndarray:
     """DIFFERENTIABLE gather of each home ray's winning record row from
     whichever device owns the face: (fid, row) ride the ring; at each hop
-    the resident device fills in rows it owns (``g2l`` says which). After
-    ``n_parts`` hops every ray is home carrying its row. ``ppermute`` and
-    the per-hop shard gather are both linear, so reverse-mode derives the
-    exact transpose: row cotangents ride the ring back and scatter-add
-    into the owning shard's ``recs`` — the sharded face-table gather of
-    the replicated path (resolve_hit). Rays with fid < 0 keep a zero row.
+    the resident device fills in rows it owns (``owner[f] == my part``,
+    local row ``lrow[f]`` — two O(T) replicated index arrays, not a dense
+    (P, T) map). After ``n_parts`` hops every ray is home carrying its
+    row. ``ppermute`` and the per-hop shard gather are both linear, so
+    reverse-mode derives the exact transpose: row cotangents ride the
+    ring back and scatter-add into the owning shard's ``recs`` — the
+    sharded face-table gather of the replicated path (resolve_hit). Rays
+    with fid < 0 keep a zero row.
     """
     r = fid.shape[0]
     tpad = recs_local.shape[1]
-    t = g2l_local.shape[1]
+    t = owner.shape[0]
+    me = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n_parts) for i in range(n_parts)]
 
     def hop(_, st):
         f, row = st
-        loc = g2l_local[0, jnp.clip(f, 0, t - 1)]
-        own = (f >= 0) & (loc >= 0)
-        mine = recs_local[0, jnp.clip(loc, 0, tpad - 1)]
+        fc = jnp.clip(f, 0, t - 1)
+        own = (f >= 0) & (owner[fc] == me)
+        mine = recs_local[0, jnp.clip(lrow[fc], 0, tpad - 1)]
         row = jnp.where(own[:, None], mine, row)
         f = jax.lax.ppermute(f, axis_name, perm)
         row = jax.lax.ppermute(row, axis_name, perm)
@@ -209,6 +242,159 @@ def diff_row_pickup(
         0, n_parts, hop, (fid, jnp.zeros((r, 20), recs_local.dtype))
     )
     return row
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TreeletShards:
+    """Geometry parameters BORN SHARDED: per-part local vertex/normal
+    slices plus locally-indexed faces. Unlike ``TreeletParts`` (whose
+    record tables are gathered in-graph from a REPLICATED scene, so every
+    device still holds the full geometry), each device's record table here
+    is built inside shard_map from ITS OWN (P-sharded) slices — no device
+    ever materializes another part's vertices, in the primal or in the
+    cotangent. This is the true beyond-HBM parameter-residency path.
+
+    Differentiable leaves: ``vertices`` (P, Vpad, 3) and ``normals``
+    (P, Npad, 3) — optimize these directly. Vertices shared by faces in
+    different parts are DUPLICATED across shards; their gradients arrive
+    per-copy and ``merge_vertex_grads``/``merge_normal_grads`` scatter-add
+    them back to the global arrays (for parity tests or synchronized
+    updates).
+
+    Index planes (non-differentiable): ``faces``/``fnidx`` (P, Tpad, 3)
+    local vertex/normal indices (fnidx -1 = flat shading), ``matid``/
+    ``fid`` (P, Tpad) material + global face ids (-1 pad), ``v_gid``/
+    ``n_gid`` (P, Vpad)/(P, Npad) global ids of each local slot (-1 pad),
+    ``owner``/``lrow`` (T,) the O(T) ownership maps for the row-pickup
+    ring.
+    """
+
+    vertices: jnp.ndarray
+    normals: jnp.ndarray
+    faces: jnp.ndarray
+    fnidx: jnp.ndarray
+    matid: jnp.ndarray
+    fid: jnp.ndarray
+    v_gid: jnp.ndarray
+    n_gid: jnp.ndarray
+    owner: jnp.ndarray
+    lrow: jnp.ndarray
+
+    @property
+    def num_parts(self) -> int:
+        return self.faces.shape[0]
+
+
+def build_treelet_shards(scene: Scene, n_parts: int) -> TreeletShards:
+    """Host-side build of the sharded-residency treelet parameters: spatial
+    face partition (``partition_faces``), then per part the referenced
+    vertices/normals are sliced out and faces re-indexed locally. All
+    tables pad to the max size across parts (static shapes for pjit)."""
+    _check_fid_precision(int(scene.mesh.num_faces))
+    v = np.asarray(scene.mesh.vertices)
+    nrm = np.asarray(scene.mesh.normals)
+    f = np.asarray(scene.mesh.faces)
+    fn = np.asarray(scene.mesh.face_normal_idx)
+    mid = np.asarray(scene.mesh.material_id)
+    parts = partition_faces(v, f, n_parts)
+
+    loc = []
+    for i, p in enumerate(parts):
+        pf = f[p]                                     # (n_i, 3) global vids
+        vu, vinv = np.unique(pf, return_inverse=True)
+        lf = vinv.reshape(pf.shape).astype(np.int32)
+        pfn = fn[p] if fn.size else np.full((len(p), 3), -1, np.int64)
+        used = pfn[pfn >= 0]
+        nu = np.unique(used) if used.size else np.zeros((0,), np.int64)
+        remap = np.full((nrm.shape[0] + 1,), -1, np.int32)
+        remap[nu] = np.arange(len(nu), dtype=np.int32)
+        lfn = np.where(pfn >= 0, remap[np.clip(pfn, 0, nrm.shape[0])], -1)
+        loc.append((p, vu, lf, nu, lfn.astype(np.int32)))
+
+    vpad = max(1, max(len(x[1]) for x in loc))
+    npad = max(1, max(len(x[3]) for x in loc))
+    tpad = max(1, max(len(x[0]) for x in loc))
+    t = int(scene.mesh.num_faces)
+
+    verts = np.zeros((n_parts, vpad, 3), np.float32)
+    norms = np.zeros((n_parts, npad, 3), np.float32)
+    faces = np.zeros((n_parts, tpad, 3), np.int32)
+    fnidx = np.full((n_parts, tpad, 3), -1, np.int32)
+    matid = np.zeros((n_parts, tpad), np.int32)
+    fid = np.full((n_parts, tpad), -1, np.int32)
+    v_gid = np.full((n_parts, vpad), -1, np.int32)
+    n_gid = np.full((n_parts, npad), -1, np.int32)
+    owner = np.zeros((max(1, t),), np.int32)
+    lrow = np.zeros((max(1, t),), np.int32)
+    for i, (p, vu, lf, nu, lfn) in enumerate(loc):
+        k = len(p)
+        verts[i, : len(vu)] = v[vu]
+        if len(nu):
+            norms[i, : len(nu)] = nrm[nu]
+        faces[i, :k] = lf
+        fnidx[i, :k] = lfn
+        matid[i, :k] = mid[p]
+        fid[i, :k] = p
+        v_gid[i, : len(vu)] = vu
+        n_gid[i, : len(nu)] = nu
+        owner[p] = i
+        lrow[p] = np.arange(k, dtype=np.int32)
+    return TreeletShards(
+        vertices=jnp.asarray(verts), normals=jnp.asarray(norms),
+        faces=jnp.asarray(faces), fnidx=jnp.asarray(fnidx),
+        matid=jnp.asarray(matid), fid=jnp.asarray(fid),
+        v_gid=jnp.asarray(v_gid), n_gid=jnp.asarray(n_gid),
+        owner=jnp.asarray(owner), lrow=jnp.asarray(lrow),
+    )
+
+
+def shard_records(v, nrm, f, fnidx, matid, fid) -> jnp.ndarray:
+    """(Tpad, 20) record table of ONE part, built in-graph from that
+    part's LOCAL slices — the per-shard analog of
+    ``wavefront.build_face_table`` (same layout, global fid in col 19).
+    Differentiable w.r.t. ``v`` and ``nrm``; call inside shard_map so the
+    build (and its transpose) touches only the resident shard."""
+    p0 = v[f[:, 0]]
+    e1 = v[f[:, 1]] - p0
+    e2 = v[f[:, 2]] - p0
+    flat_n = normalize(jnp.cross(e1, e2))
+    has_smooth = (fnidx[:, 0] >= 0)[:, None]
+    ncl = jnp.clip(fnidx, 0, nrm.shape[0] - 1)
+    n0 = jnp.where(has_smooth, nrm[ncl[:, 0]], flat_n)
+    n1 = jnp.where(has_smooth, nrm[ncl[:, 1]], flat_n)
+    n2 = jnp.where(has_smooth, nrm[ncl[:, 2]], flat_n)
+    recs = jnp.concatenate(
+        [p0, e1, e2, n0, n1, n2,
+         matid.astype(jnp.float32)[:, None],
+         fid.astype(jnp.float32)[:, None]], axis=1,
+    )
+    pad_row = jnp.zeros((20,), jnp.float32).at[19].set(-1.0)
+    return jnp.where((fid < 0)[:, None], pad_row, recs)
+
+
+def merge_vertex_grads(
+    shards: TreeletShards, g_vertices: jnp.ndarray, num_vertices: int
+) -> jnp.ndarray:
+    """Scatter-add per-copy vertex cotangents (P, Vpad, 3) back to the
+    global (V, 3) array — boundary vertices duplicated across parts sum,
+    matching the replicated path's gradients exactly."""
+    gid = shards.v_gid.reshape(-1)
+    w = (gid >= 0).astype(g_vertices.dtype)[:, None]
+    flat = g_vertices.reshape(-1, 3) * w
+    safe = jnp.clip(gid, 0, max(num_vertices - 1, 0))
+    return jnp.zeros((num_vertices, 3), g_vertices.dtype).at[safe].add(flat)
+
+
+def merge_normal_grads(
+    shards: TreeletShards, g_normals: jnp.ndarray, num_normals: int
+) -> jnp.ndarray:
+    """Normals analog of ``merge_vertex_grads``."""
+    gid = shards.n_gid.reshape(-1)
+    w = (gid >= 0).astype(g_normals.dtype)[:, None]
+    flat = g_normals.reshape(-1, 3) * w
+    safe = jnp.clip(gid, 0, max(num_normals - 1, 0))
+    return jnp.zeros((num_normals, 3), g_normals.dtype).at[safe].add(flat)
 
 
 @jax.tree_util.register_dataclass
@@ -353,6 +539,50 @@ def _local_min_t(recs: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray):
         o[:, None, :], d[:, None, :], p0[None], e1[None], e2[None]
     )
     return jnp.min(t, axis=1)
+
+
+def _local_first_fid(recs: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray):
+    """(t, fid) of the nearest hit vs ONE treelet — the lean discrete
+    query for the differentiable path's first pass: no normal
+    interpolation, no shading payload (those are replayed differentiably
+    from the winning row afterwards)."""
+    p0, e1, e2 = recs[:, 0:3], recs[:, 3:6], recs[:, 6:9]
+    t, _, _, _ = moller_trumbore(
+        o[:, None, :], d[:, None, :], p0[None], e1[None], e2[None]
+    )  # (R, T)
+    j = jnp.argmin(t, axis=1)
+    rr = jnp.arange(t.shape[0])
+    t_b = t[rr, j]
+    fid = jnp.where(t_b < INF, recs[j, 19].astype(jnp.int32), -1)
+    return t_b, fid
+
+
+def ring_first_fid(
+    recs_local: jnp.ndarray,   # (1, Tpad, 20) — THIS device's treelet
+    orig: jnp.ndarray,
+    dirn: jnp.ndarray,
+    n_parts: int,
+    axis_name: str = "rays",
+):
+    """Global (t, fid) via ``n_parts`` ring hops — the fid-only discrete
+    ring for the differentiable path. Rotates only (o, d, t, fid): half
+    the payload of ``ring_first_hit``, whose interpolated normals and
+    material constants the diff path would immediately discard."""
+    r = orig.shape[0]
+    perm = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+    state = (orig, dirn, jnp.full((r,), INF), jnp.full((r,), -1, jnp.int32))
+
+    def hop(_, st):
+        o, d, t_b, f_b = st
+        t, fid = _local_first_fid(recs_local[0], o, d)
+        upd = t < t_b
+        st = (o, d, jnp.where(upd, t, t_b), jnp.where(upd, fid, f_b))
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, axis_name, perm), st
+        )
+
+    _, _, t_b, f_b = jax.lax.fori_loop(0, n_parts, hop, state)
+    return t_b, f_b
 
 
 def ring_occlusion_t(
@@ -548,6 +778,11 @@ def render_treelet(
             scene, camera, settings, key, mesh, treelets, axis_name,
             return_stats,
         )
+    if isinstance(treelets, TreeletShards):
+        return _render_treelet_shards(
+            scene, camera, settings, key, mesh, treelets, axis_name,
+            return_stats,
+        )
     if isinstance(treelets, TreeletParts):
         return _render_treelet_diff(
             scene, camera, settings, key, mesh, treelets, axis_name,
@@ -670,20 +905,20 @@ def _render_treelet_diff(
     from atray_tpu.scene.data import empty_mesh
 
     lean = dataclasses.replace(scene, mesh=empty_mesh())
-    tpad = recs.shape[1]
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-                  P(axis_name)),
+                  P(None), P(None)),
         out_specs=(P(axis_name), P(axis_name)),
         check_vma=False,
     )
-    def _run(o, d, ids, recs_l, g2l_l):
+    def _run(o, d, ids, recs_l, owner, lrow):
         def override(o_, d_, alive):
-            # discrete: which face wins (detached — visibility convention)
-            _, _, _, _, fid = ring_first_hit(
+            # discrete: which face wins (detached — visibility convention);
+            # the fid-only ring rotates half the payload of ring_first_hit
+            _, fid = ring_first_fid(
                 jax.lax.stop_gradient(recs_l),
                 jax.lax.stop_gradient(o_), jax.lax.stop_gradient(d_),
                 n_parts=n_dev, axis_name=axis_name,
@@ -692,7 +927,7 @@ def _render_treelet_diff(
             # continuous: replay from the winning row (differentiable ring
             # gather — the sharded face-table row pickup)
             row = diff_row_pickup(
-                recs_l, g2l_l, fid, n_parts=n_dev, axis_name=axis_name
+                recs_l, owner, lrow, fid, n_parts=n_dev, axis_name=axis_name
             )
             tt, u, v, _ = moller_trumbore(
                 o_, d_, row[:, 0:3], row[:, 3:6], row[:, 6:9]
@@ -729,8 +964,127 @@ def _render_treelet_diff(
         )
         return color, stats["rays_cast"][None]
 
-    del tpad
-    color, rc_shards = _run(orig, dirn, ray_ids, recs, parts.g2l)
+    color, rc_shards = _run(orig, dirn, ray_ids, recs, parts.owner, parts.lrow)
+    color = color[:n]
+    color = from_tile_order(color, w, h, spp)
+    film = color.reshape(spp, h, w, 3).mean(axis=0)
+    film = jnp.clip(film, 0.0, 1.0)
+    if return_stats:
+        return film, {
+            "rays_cast": jnp.sum(rc_shards),
+            "rays_cast_per_shard": rc_shards,
+        }
+    return film
+
+
+def _render_treelet_shards(
+    scene: Scene,
+    camera: Camera,
+    settings: RenderSettings,
+    key: jax.Array,
+    mesh: Mesh,
+    shards: TreeletShards,
+    axis_name: str,
+    return_stats: bool,
+):
+    """Sharded-residency variant of ``render_treelet``: every geometry
+    array arrives P-sharded over the mesh and the per-device record table
+    is built INSIDE shard_map from the resident slices (``shard_records``)
+    — no device holds another part's vertices, forward or backward.
+    ``jax.grad`` w.r.t. ``shards.vertices``/``shards.normals`` yields
+    per-copy cotangents on each shard; ``merge_vertex_grads`` reconciles
+    duplicated boundary vertices with the replicated path's grads."""
+    n_dev = int(mesh.devices.size)
+
+    w, h = settings.resolution
+    spp = settings.samples_per_pixel
+    aa_key, bounce_key = jax.random.split(key)
+    orig, dirn = camera_rays(
+        camera, w, h, spp,
+        key=aa_key if settings.anti_aliasing else None,
+        anti_aliasing=settings.anti_aliasing,
+    )
+    orig = to_tile_order(orig, w, h, spp)
+    dirn = to_tile_order(dirn, w, h, spp)
+    n = orig.shape[0]
+    ray_ids = jnp.arange(n, dtype=jnp.int32)
+
+    pad = (-n) % n_dev
+    if pad:
+        orig = jnp.concatenate([orig, jnp.full((pad, 3), 1.0e7, orig.dtype)])
+        dirn = jnp.concatenate(
+            [dirn, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dirn.dtype),
+                            (pad, 1))]
+        )
+        ray_ids = jnp.concatenate(
+            [ray_ids, n + jnp.arange(pad, dtype=jnp.int32)]
+        )
+
+    from atray_tpu.scene.data import empty_mesh
+
+    lean = dataclasses.replace(scene, mesh=empty_mesh())
+    pp = P(axis_name)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(pp, pp, pp, pp, pp, pp, pp, pp, pp, P(None), P(None)),
+        out_specs=(pp, pp),
+        check_vma=False,
+    )
+    def _run(o, d, ids, v_l, n_l, f_l, fn_l, mat_l, fid_l, owner, lrow):
+        # THIS device's record table, built from its resident slices only
+        recs_l = shard_records(
+            v_l[0], n_l[0], f_l[0], fn_l[0], mat_l[0], fid_l[0]
+        )[None]
+
+        def override(o_, d_, alive):
+            _, fid = ring_first_fid(
+                jax.lax.stop_gradient(recs_l),
+                jax.lax.stop_gradient(o_), jax.lax.stop_gradient(d_),
+                n_parts=n_dev, axis_name=axis_name,
+            )
+            fid = jax.lax.stop_gradient(fid)
+            row = diff_row_pickup(
+                recs_l, owner, lrow, fid, n_parts=n_dev, axis_name=axis_name
+            )
+            tt, u, v, _ = moller_trumbore(
+                o_, d_, row[:, 0:3], row[:, 3:6], row[:, 6:9]
+            )
+            w0 = (1.0 - u - v)[:, None]
+            nrm = normalize(
+                w0 * row[:, 9:12]
+                + u[:, None] * row[:, 12:15]
+                + v[:, None] * row[:, 15:18]
+            )
+            mat = jax.lax.stop_gradient(row[:, 18]).astype(jnp.int32)
+            hit = (fid >= 0) & (tt < 1.0e30)
+            return (
+                jnp.where(hit, tt, INF),
+                jnp.where(hit[:, None], nrm, 0.0),
+                jnp.where(hit, mat, 0),
+                hit,
+            )
+
+        def occl(o_, d_, live):
+            return ring_occlusion_t(
+                jax.lax.stop_gradient(recs_l), o_, d_,
+                n_parts=n_dev, axis_name=axis_name,
+            )
+
+        color, stats = trace_radiance(
+            lean, o, d, settings.bounce_limit, key=bounce_key,
+            sort_rays=settings.sort_bounces, nee=settings.nee,
+            return_stats=True, ray_ids=ids, hit_override=override,
+            occl_override=occl,
+        )
+        return color, stats["rays_cast"][None]
+
+    color, rc_shards = _run(
+        orig, dirn, ray_ids,
+        shards.vertices, shards.normals, shards.faces, shards.fnidx,
+        shards.matid, shards.fid, shards.owner, shards.lrow,
+    )
     color = color[:n]
     color = from_tile_order(color, w, h, spp)
     film = color.reshape(spp, h, w, 3).mean(axis=0)

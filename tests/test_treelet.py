@@ -327,3 +327,73 @@ def test_treelet_inverse_albedo_recovers(devices):
     assert l1 < l0 * 0.2, (l0, l1)
     err = float(jnp.abs(a1 - true_albedo).max())
     assert err < 0.15, err
+
+
+def test_treelet_shards_forward_matches_replicated(devices):
+    # TreeletShards backend: record tables built INSIDE shard_map from
+    # per-part vertex/normal slices (true sharded parameter residency)
+    # must render the same image as the replicated single-device path
+    from atray_tpu.dist.treelet import build_treelet_shards
+
+    scene = _scene(rows=8, cols=8)
+    cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    s = RenderSettings(
+        resolution=(16, 16), samples_per_pixel=1, bounce_limit=2,
+        sort_bounces=False,
+    )
+    mesh = make_device_mesh()
+    shards = build_treelet_shards(scene, mesh.devices.size)
+    film_tl = render_treelet(
+        scene, cam, s, jax.random.PRNGKey(0), mesh, treelets=shards
+    )
+    film_lo = render(scene, cam, s, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(film_tl), np.asarray(film_lo), atol=1e-5
+    )
+    assert np.asarray(film_lo).std() > 0.01
+
+
+def test_treelet_shards_grads_match_replicated(devices):
+    # Gradients land on the PER-SHARD vertex/normal copies; scatter-adding
+    # duplicated boundary copies back (merge_vertex_grads) must equal the
+    # replicated path's gradients. No device ever builds another part's
+    # records: the only cross-device traffic is the ppermute rings.
+    import dataclasses as _dc
+
+    from atray_tpu.dist.treelet import (
+        build_treelet_shards,
+        merge_normal_grads,
+        merge_vertex_grads,
+    )
+
+    scene = _scene(rows=8, cols=8)
+    cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    s = RenderSettings(
+        resolution=(16, 16), samples_per_pixel=1, bounce_limit=2,
+        sort_bounces=False,
+    )
+    mesh = make_device_mesh()
+    shards = build_treelet_shards(scene, mesh.devices.size)
+    key = jax.random.PRNGKey(0)
+
+    def loss_rep(p):
+        return jnp.sum(render(scene.with_params(p), cam, s, key))
+
+    def loss_sh(vn):
+        sh = _dc.replace(shards, vertices=vn[0], normals=vn[1])
+        return jnp.sum(render_treelet(scene, cam, s, key, mesh, treelets=sh))
+
+    f1, g1 = jax.jit(jax.value_and_grad(loss_rep))(scene.params())
+    f2, g2 = jax.jit(jax.value_and_grad(loss_sh))(
+        (shards.vertices, shards.normals)
+    )
+    np.testing.assert_allclose(float(f1), float(f2), rtol=1e-5)
+    gv = merge_vertex_grads(shards, g2[0], int(scene.mesh.num_vertices))
+    gn = merge_normal_grads(shards, g2[1], scene.mesh.normals.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(gv), np.asarray(g1.vertices), atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(gn), np.asarray(g1.normals), atol=1e-4, rtol=1e-3
+    )
+    assert float(jnp.max(jnp.abs(gv))) > 1e-4
