@@ -38,7 +38,10 @@ NOUT = 12
 
 def _wide_shade_kernel(
     rays_hbm,                        # ANY (7, rows, 128): o, d, alive
+    flags_ref,                       # SMEM (num_pairs*n_inter,) i32:
+                                     #   bit0-2 dir signs, bit3 any-live
     cboxes_ref, clinks_ref, caxis_ref, tris_ref,
+    sent_hbm,                        # ANY (NOUT, rows, 128) — aliased to out
     out_hbm,                         # ANY (NOUT, rows, 128)
     rblk_ref,                        # VMEM (7, n_inter*S, 128)
     oblk_ref,                        # VMEM (NOUT, n_inter*S, 128)
@@ -48,8 +51,27 @@ def _wide_shade_kernel(
     octant_split: bool, multi_pop: int, n_inter: int, ordered: bool,
 ):
     S = block_sub
+    del sent_hbm  # aliased storage: skipped pairs keep their sentinels
 
     def process_pair(pair, _):
+        # per-half flags were computed ON THE HOST PROGRAM side (cheap XLA
+        # reductions): liveness and direction signs as SMEM scalars. A
+        # fully dead pair is skipped HERE, before any DMA/init/sync — the
+        # post-compaction tail of a sparse wavefront costs ~nothing
+        # (previously every dead pair paid the DMAs, 12 plane inits and
+        # ~8 vector->scalar syncs: the measured late-bounce floor).
+        fl = [flags_ref[pair * n_inter + i] for i in range(n_inter)]
+        pair_live = (fl[0] >> 3) & 1
+        for i in range(1, n_inter):
+            pair_live = pair_live | ((fl[i] >> 3) & 1)
+
+        @pl.when(pair_live == 1)
+        def _():
+            _process_live_pair(pair, fl)
+
+        return 0
+
+    def _process_live_pair(pair, fl):
         copy_in = pltpu.make_async_copy(
             rays_hbm.at[:, pl.ds(pair * n_inter * S, n_inter * S), :],
             rblk_ref,
@@ -77,7 +99,12 @@ def _wide_shade_kernel(
             return m
 
         inf = jnp.float32(_INF)
-        oblk_ref[0] = jnp.full((n_inter * S, BLOCK_LANE), _INF, jnp.float32)
+        # dead lanes start with best_t = -INF: no box can satisfy
+        # t_near <= min(t_far, best_t) and no triangle tt < best_t, so
+        # they are inert with NO per-op mask ANDs (the write-out below
+        # restores their +INF miss sentinel)
+        alive_plane = rblk_ref[6]
+        oblk_ref[0] = jnp.where(alive_plane > 0.0, inf, -inf)
         oblk_ref[1] = pltpu.bitcast(
             jnp.full((n_inter * S, BLOCK_LANE), -1, jnp.int32), jnp.float32
         )
@@ -85,11 +112,11 @@ def _wide_shade_kernel(
             oblk_ref[k] = jnp.zeros((n_inter * S, BLOCK_LANE), jnp.float32)
 
         def make_block(half: int, mask):
-            """Traversal closures for one half; ``mask`` (S, 128) bool
-            selects the lanes participating in THIS pass (octant-split
-            traversal runs 8 masked passes so each block-wide union only
-            spans same-octant lanes — divergent unions are the incoherent
-            bottleneck)."""
+            """Traversal closures for one half; ``mask`` is None for the
+            production single-pass walk (dead lanes are inert via the
+            -INF best_t plane) or an (S, 128) bool selecting the lanes of
+            THIS pass (octant-split traversal runs 8 masked passes so
+            each block-wide union only spans same-octant lanes)."""
             lo = half * S
             ox = rblk_ref[0, lo : lo + S]
             oy = rblk_ref[1, lo : lo + S]
@@ -101,7 +128,6 @@ def _wide_shade_kernel(
             idx = jnp.where(dx == 0.0, big, 1.0 / jnp.where(dx == 0.0, 1.0, dx))
             idy = jnp.where(dy == 0.0, big, 1.0 / jnp.where(dy == 0.0, 1.0, dy))
             idz = jnp.where(dz == 0.0, big, 1.0 / jnp.where(dz == 0.0, 1.0, dz))
-
             def raymask(node):
                 row = cboxes_ref[pl.ds(node, 1), :]
                 best_t = oblk_ref[0, lo : lo + S]
@@ -127,10 +153,14 @@ def _wide_shade_kernel(
                         jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                         jnp.maximum(tz0, tz1),
                     )
-                    bhit = (
-                        (t_near <= t_far) & (t_far > 0.0)
-                        & (t_near < best_t) & mask
+                    # conservative merge: t_near <= min(t_far, best_t)
+                    # admits the t_near == best_t boundary (an extra node
+                    # visit at most — leaf hits still need tt < best_t)
+                    bhit = (t_near <= jnp.minimum(t_far, best_t)) & (
+                        t_far > 0.0
                     )
+                    if mask is not None:
+                        bhit = bhit & mask
                     rm = rm | jnp.where(bhit, jnp.int32(1 << c), 0)
                 return rm   # per-lane 8-bit child-hit mask, NOT yet unioned
 
@@ -186,8 +216,9 @@ def _wide_shade_kernel(
                         & (uu + vv <= 1.0)
                         & (tt > jnp.float32(_T_MIN))
                         & (tt < t_b)
-                        & mask
                     )
+                    if mask is not None:
+                        hit = hit & mask
                     # interpolated shading normal of this candidate
                     w0 = 1.0 - uu - vv
                     n0x = bc(rec[:, 10:11], onesf)
@@ -267,33 +298,28 @@ def _wide_shade_kernel(
                 sp = sp + is_node.astype(jnp.int32)
             return sp
 
-        def run_pass(masks):
-            """One interleaved ``n_inter``-block traversal over the lanes
-            selected by ``masks`` (one (S, 128) bool per half). All halves'
+        def run_pass(masks, live_scalars=None):
+            """One interleaved ``n_inter``-block traversal. All halves'
             mask pipelines issue before any half's scalar extract, so the
             ~1 us vector→scalar syncs of up to ``n_inter`` independent
-            walks overlap (docs/KERNELS.md lesson 1). Halves with no
-            selected lane start with an empty stack (dead-block skip —
-            the wavefront analog of the reference's per-ray early break,
-            renderer.cpp:227-231)."""
+            walks overlap (docs/KERNELS.md lesson 1). ``live_scalars``
+            (production path) are the precomputed SMEM liveness bits —
+            a dead half starts with an empty stack at ZERO vector→scalar
+            syncs (dead-block skip — the wavefront analog of the
+            reference's per-ray early break, renderer.cpp:227-231); the
+            octant-split path passes None and pays a vector max per
+            masked pass."""
             blocks = [make_block(i, masks[i]) for i in range(n_inter)]
             rm = [b[0] for b in blocks]
             leaf = [b[1] for b in blocks]
 
-            def dir_signs(half, mask):
-                """(sx, sy, sz) i32 0/1: sign of the block's mean live
-                direction per axis — picks the near-first child order."""
-                lo = half * S
-                out = []
-                for ax in range(3):
-                    s = jnp.sum(
-                        jnp.where(mask, rblk_ref[3 + ax, lo : lo + S], 0.0)
-                    )
-                    out.append((s > 0.0).astype(jnp.int32))
-                return out
-
             if ordered:
-                sgn = [dir_signs(i, masks[i]) for i in range(n_inter)]
+                # direction signs were reduced host-program-side into the
+                # SMEM flags (bits 0-2) — no per-pass vector sums/syncs
+                sgn = [
+                    ((fl[i] >> 0) & 1, (fl[i] >> 1) & 1, (fl[i] >> 2) & 1)
+                    for i in range(n_inter)
+                ]
 
                 def desc_of(node, sg):
                     axis = caxis_ref[0, node]
@@ -333,10 +359,13 @@ def _wide_shade_kernel(
                 """Multi-pop iteration: up to ``multi_pop`` nodes per half
                 are expanded per vector→scalar round trip. The ~1 us
                 extract sync is the traversal currency (docs/KERNELS.md
-                lesson 1); packing K 8-bit child masks into one i32 pays
-                ONE sync for K nodes. Invalid pops (stack shallower than
-                K) are masked to zero in the vector domain."""
+                lesson 1); packing K 8-bit child masks into ceil(K/4)
+                i32 planes pays ONE pipeline stall (plus cheap extra
+                extracts of already-computed vectors) for K nodes.
+                Invalid pops (stack shallower than K) are masked to zero
+                in the vector domain."""
                 K = multi_pop
+                npk = (K + 3) // 4
                 live = [sp > 0 for sp in state]
                 nodes = [
                     [stacks_ref[i, jnp.maximum(state[i] - 1 - k, 0)]
@@ -345,12 +374,15 @@ def _wide_shade_kernel(
                 ]
                 packs = []
                 for i in range(n_inter):
-                    pk = jnp.zeros((S, BLOCK_LANE), jnp.int32)
+                    pks = [
+                        jnp.zeros((S, BLOCK_LANE), jnp.int32)
+                        for _ in range(npk)
+                    ]
                     for k in range(K):
                         mk = jnp.where(state[i] > k, rm[i](nodes[i][k]), 0)
-                        pk = pk | (mk << (8 * k))
-                    packs.append(pk)
-                ms = [fold(pk)[0, 0] for pk in packs]
+                        pks[k // 4] = pks[k // 4] | (mk << (8 * (k % 4)))
+                    packs.append(pks)
+                ms = [[fold(pk)[0, 0] for pk in pks] for pks in packs]
                 bases = [jnp.maximum(sp - K, 0) for sp in state]
                 # reverse batch order so the nearest popped node's children
                 # land on top of the stack (preserves near-first popping)
@@ -360,7 +392,8 @@ def _wide_shade_kernel(
                         bases[i] = jnp.where(
                             ok,
                             scalar_phase(i, ok, bases[i],
-                                         (ms[i] >> (8 * k)) & 255,
+                                         (ms[i][k // 4] >> (8 * (k % 4)))
+                                         & 255,
                                          nodes[i][k], leaf[i],
                                          desc_of(nodes[i][k], sgn[i])),
                             bases[i],
@@ -373,18 +406,26 @@ def _wide_shade_kernel(
             init = []
             for i in range(n_inter):
                 stacks_ref[i, 0] = jnp.int32(0)
-                live0 = jnp.max(masks[i].astype(jnp.float32)) > 0.0
-                init.append(jnp.where(live0, 1, 0).astype(jnp.int32))
+                if live_scalars is not None:
+                    init.append(live_scalars[i])
+                else:
+                    live0 = jnp.max(masks[i].astype(jnp.float32)) > 0.0
+                    init.append(jnp.where(live0, 1, 0).astype(jnp.int32))
             jax.lax.while_loop(
                 wcond, wbody if multi_pop == 1 else wbody_multi, tuple(init)
             )
 
-        alives = [
-            rblk_ref[6, i * S : (i + 1) * S] > 0.0 for i in range(n_inter)
-        ]
         if not octant_split:
-            run_pass(alives)
+            # dead lanes are inert via the -INF best_t plane: no per-op
+            # masks; per-half liveness comes from the SMEM flags
+            run_pass(
+                [None] * n_inter,
+                live_scalars=[(fl[i] >> 3) & 1 for i in range(n_inter)],
+            )
         else:
+            alives = [
+                rblk_ref[6, i * S : (i + 1) * S] > 0.0 for i in range(n_inter)
+            ]
             # Octant-partitioned traversal for incoherent (bounce) rays:
             # 8 masked passes, each union-ing only same-octant lanes. A
             # block-synchronous walk visits the UNION of its lanes' node
@@ -411,6 +452,10 @@ def _wide_shade_kernel(
 
             jax.lax.fori_loop(0, 8, opass, 0)
 
+        # dead lanes traversed nothing (best_t was -INF); restore their
+        # +INF miss sentinel so consumers see the documented contract
+        oblk_ref[0] = jnp.where(rblk_ref[6] > 0.0, oblk_ref[0], inf)
+
         copy_out = pltpu.make_async_copy(
             oblk_ref,
             out_hbm.at[:, pl.ds(pair * n_inter * S, n_inter * S), :],
@@ -418,7 +463,6 @@ def _wide_shade_kernel(
         )
         copy_out.start()
         copy_out.wait()
-        return 0
 
     jax.lax.fori_loop(0, num_pairs, process_pair, 0)
 
@@ -497,6 +541,30 @@ def wide_shade_first_hit(
     if caxis is None:
         caxis = jnp.zeros((1, swbvh.num_nodes), jnp.int32)
 
+    # Per-half metadata, reduced HERE (cheap XLA) instead of inside the
+    # kernel (where liveness and direction-sign reductions each cost a
+    # vector→scalar sync per pair — the measured fixed floor of sparse
+    # late bounces): bit0-2 = sign of the half's mean live direction per
+    # axis (ordered-traversal pop order), bit3 = any-live. Fully dead
+    # pairs are skipped before any DMA; their outputs come from the
+    # sentinel buffer aliased into the output.
+    halves = rows // block_sub
+    al_h = alive_f.reshape(halves, block_sub * BLOCK_LANE)
+    live_h = (jnp.max(al_h, axis=1) > 0.0).astype(jnp.int32)
+    d_h = dirn.reshape(halves, block_sub * BLOCK_LANE, 3)
+    s_h = jnp.sum(jnp.where(al_h[..., None] > 0.0, d_h, 0.0), axis=1)
+    sg = (s_h > 0.0).astype(jnp.int32)
+    flags = sg[:, 0] | (sg[:, 1] << 1) | (sg[:, 2] << 2) | (live_h << 3)
+
+    neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
+    sentinel = jnp.concatenate(
+        [
+            jnp.full((1, rows, BLOCK_LANE), _INF, jnp.float32),
+            jnp.broadcast_to(neg1, (1, rows, BLOCK_LANE)),
+            jnp.zeros((NOUT - 2, rows, BLOCK_LANE), jnp.float32),
+        ]
+    )
+
     stack_cap = max(STACK_CAP, 8 * (swbvh.max_depth + 2))
     if multi_pop > 1:
         # batch expansion breaks the DFS depth bound; the hard bound is
@@ -521,13 +589,16 @@ def wide_shade_first_hit(
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((NOUT, rows, BLOCK_LANE), jnp.float32),
+        input_output_aliases={6: 0},
         scratch_shapes=[
             pltpu.VMEM((7, n_inter * block_sub, BLOCK_LANE), jnp.float32),
             pltpu.VMEM((NOUT, n_inter * block_sub, BLOCK_LANE), jnp.float32),
@@ -542,7 +613,7 @@ def wide_shade_first_hit(
             # (16 MiB) rejects large resident BVH/triangle tables
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
-    )(rays, swbvh.cboxes, swbvh.clinks, caxis, swbvh.tris)
+    )(rays, flags, swbvh.cboxes, swbvh.clinks, caxis, swbvh.tris, sentinel)
 
     def flat(k):
         return out[k].reshape(-1)[:n]

@@ -432,11 +432,14 @@ def draw_bounce_uniforms(
     )
 
 
-# Stack-node expansions per vector→scalar sync in the SCANNED bounce
-# kernel. The sync (~1 us) is the incoherent-traversal currency; packing 4
-# child masks per extract measured 1.17-1.21x on real bounce rays and
-# 0.92x on coherent primaries (scripts/probe_r2.py, dragon 139k, v5e) —
-# so bounces use K=4 and the peeled primary stays at K=1.
+# Stack-node expansions per vector→scalar sync in the traversal kernel.
+# The sync (~1 us) is the incoherent-traversal currency; packing 4 child
+# masks per extract measured 1.17x on real bounce rays (91.7 vs 107.6 ms)
+# and, with the round-3 flags kernel, 1.07x on coherent primaries too
+# (45.4 vs 48.6 ms, scripts/probe_r12.py, dragon 139k, v5e) — K=4
+# everywhere, which also collapses primary + bounce into ONE Mosaic
+# kernel config. K=8/12 (two packed i32 planes) measured 2.6x SLOWER:
+# the second fold+extract serializes the very pipeline K amortizes.
 BOUNCE_MULTI_POP = 4
 
 
@@ -624,6 +627,16 @@ def trace_radiance(
             t, n, em_ray, al_ray, sc_ray, fid = _fused_for(accel_, split, mp)(
                 scene, o, d, alive.astype(jnp.float32)
             )
+            # name the kernel outputs so the remat policy SAVES them:
+            # the backward replays the bounce body's cheap elementwise
+            # math but never re-runs the traversal kernel (path replay
+            # with saved hit records, SURVEY.md §7 arch item 6)
+            from jax.ad_checkpoint import checkpoint_name
+
+            t, n, em_ray, al_ray, sc_ray, fid = jax.tree_util.tree_map(
+                lambda x: checkpoint_name(x, "hit_shade"),
+                (t, n, em_ray, al_ray, sc_ray, fid),
+            )
             hit = fid >= 0
             return _patch_spheres_planes(o, d, t, n, hit, em_ray, al_ray, sc_ray)
 
@@ -720,12 +733,15 @@ def trace_radiance(
                 occl_override(o, d, live), o, d, dist, lid
             )
         if isinstance(accel_, ShadedWideBVH):
+            from jax.ad_checkpoint import checkpoint_name
+
             from atray_tpu.kernels.wide_shade import wide_shade_first_hit
 
             t = wide_shade_first_hit(
                 accel_, o, d, alive=live, interpret=interpret,
                 octant_split=split, multi_pop=mp,
             )["t"]
+            t = checkpoint_name(t, "hit_shade")
             return _merge_light_check(t, o, d, dist, lid)
         sids = nearest_hit_ids(scene, o, d, accel=accel_)
         is_light = (sids.prim_type == PRIM_SPHERE) & (sids.prim_id == lid)
@@ -940,11 +956,22 @@ def trace_radiance(
         ), None
 
     if remat:
-        scan_body = jax.checkpoint(scan_body)
+        # "save only the named kernel outputs": reverse mode stores the
+        # per-bounce hit records (O(B·R·12) f32) and replays the cheap
+        # elementwise shading math — the traversal kernel runs ONCE per
+        # bounce total, not once forward + once per backward replay
+        scan_body = jax.checkpoint(
+            scan_body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "hit_shade"
+            ),
+        )
 
     start = 0
     if needs_peel and bounce_limit > 0:
-        state = bounce_step(state, 0, primary_accel)
+        # same mp as the scan: the peeled primary shares the scan's kernel
+        # config, so Mosaic compiles ONE traversal kernel for the frame
+        state = bounce_step(state, 0, primary_accel, mp=bounce_mp)
         start = 1
     if sort_rays and bounce_limit > start + 1:
         # Run the first diffuse bounce at full wavefront, then compact

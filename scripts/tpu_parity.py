@@ -246,7 +246,7 @@ def main():
     )
     report["all_pass"] = bool(ok)
     report["elapsed_s"] = round(time.time() - t0, 1)
-    out = os.path.join(REPO, "TPU_PARITY_r02.json")
+    out = os.path.join(REPO, "TPU_PARITY_r03.json")
     with open(out, "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps(report, indent=2))
