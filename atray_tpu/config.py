@@ -33,6 +33,12 @@ class RenderSettings:
     nee: next-event estimation — explicit shadow rays to sphere lights at
         every hit (BASELINE config 2 'shadow rays'); cuts variance from
         small bright emitters dramatically.
+    lane_pack: on top of sort_bounces' row compaction, stably pack LIVE
+        rays to a dense lane prefix with the banded one-hot-matmul kernel
+        (kernels/lane_pack.py) — later bounces' blocks stop walking broad
+        unions for sparse live lanes. Falls back to an identity copy when
+        occupancy drops below the kernel's band. Numerically transparent
+        (same rays, same math, new positions).
     """
 
     resolution: Tuple[int, int] = (1280, 720)
@@ -43,6 +49,7 @@ class RenderSettings:
     ray_chunk: int = 0
     sort_bounces: bool = True
     nee: bool = False
+    lane_pack: bool = True
 
     @property
     def width(self) -> int:

@@ -57,7 +57,9 @@ LANE = 128
 def _lane_route_kernel(
     idx_hbm,                   # ANY (rows, 128) i32 routing plane
     w0_ref,                    # SMEM (rows,) i32 window anchor row per row
+    w1_ref,                    # SMEM (rows,) i32 TRUE span rows per row
     live_ref,                  # SMEM (rows,) i32 row-live flags
+    bound_ref,                 # SMEM (1,) i32: rows after the last live one
     cols_hbm,                  # ANY (C, rows, 128) f32 inputs
     zeros_hbm,                 # ANY (C, rows, 128) — aliased to out
     out_hbm,                   # ANY (C, rows, 128)
@@ -67,9 +69,12 @@ def _lane_route_kernel(
     in_sem, idx_sem, out_sem,
     *, rows: int, wcap: int, c: int,
 ):
-    del zeros_hbm
+    del zeros_hbm, rows
 
     def row(j, _):
+        # the flag-check loop itself costs ~2 us/row (sequencer branch);
+        # bounding the trip count at the last live row makes a packed
+        # output (live prefix) cost ~nothing past its live rows
         @pl.when(live_ref[j] == 1)
         def _():
             _route_row(j)
@@ -97,7 +102,7 @@ def _lane_route_kernel(
         relb = rel * jnp.ones((LANE, 1), jnp.float32).astype(jnp.int32)
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
 
-        def wrow(r, acc):
+        def one(r, acc):
             # oh[l_in, l_out] = (r*128 + l_in == rel[l_out]): the MXU
             # routes window lanes to output lanes
             ohf = (sub_iota + r * LANE == relb).astype(jnp.float32)
@@ -107,8 +112,20 @@ def _lane_route_kernel(
                 preferred_element_type=jnp.float32,
             )
 
+        def wquad(q, acc):
+            # 4x unrolled: sequencer iterations, not dots, dominate the
+            # inner loop. Rows past the true span can never match (their
+            # iota exceeds every rel), so no per-row guard is needed —
+            # the DMA'd window always holds wcap rows.
+            for k in range(4):
+                acc = one(q * 4 + k, acc)
+            return acc
+
+        # bound the loop by THIS row's true span (w1), not wcap: for a
+        # pack, live-rows x span is ~the live ray count, not N/128
         acc = jax.lax.fori_loop(
-            0, wcap, wrow, jnp.zeros((c, LANE), jnp.float32)
+            0, (w1_ref[j] + 3) // 4, wquad,
+            jnp.zeros((c, LANE), jnp.float32),
         )
         acc_ref[:, 0, :] = acc
         cp_out = pltpu.make_async_copy(
@@ -117,7 +134,7 @@ def _lane_route_kernel(
         cp_out.start()
         cp_out.wait()
 
-    jax.lax.fori_loop(0, rows, row, 0)
+    jax.lax.fori_loop(0, bound_ref[0], row, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("wcap", "interpret"))
@@ -136,6 +153,7 @@ def lane_take(
     c, rows, lane = cols.shape
     assert lane == LANE
     assert rows >= wcap, "wcap window must fit the buffer"
+    assert wcap % 4 == 0, "window loop is 4x unrolled"
     idxp = idx.reshape(rows, LANE)
 
     valid = idxp >= 0
@@ -144,6 +162,12 @@ def lane_take(
     live = jnp.any(valid, axis=1).astype(jnp.int32)
     w0 = jnp.clip(rmin // LANE, 0, max(rows - wcap, 0)).astype(jnp.int32)
     w0 = jnp.where(live == 1, w0, 0)
+    rmax = jnp.max(jnp.where(valid, idxp, -1), axis=1)
+    w1 = jnp.clip(rmax // LANE - w0 + 1, 0, wcap).astype(jnp.int32)
+    w1 = jnp.where(live == 1, w1, 0)
+    bound = jnp.max(jnp.where(
+        live == 1, jnp.arange(rows, dtype=jnp.int32) + 1, 0
+    ))[None]
 
     zeros = jnp.zeros((c, rows, LANE), jnp.float32)
     return pl.pallas_call(
@@ -155,12 +179,14 @@ def lane_take(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((c, rows, LANE), jnp.float32),
-        input_output_aliases={4: 0},
+        input_output_aliases={6: 0},
         scratch_shapes=[
             pltpu.VMEM((c, wcap, LANE), jnp.float32),
             pltpu.VMEM((1, LANE), jnp.int32),
@@ -174,7 +200,7 @@ def lane_take(
             has_side_effects=True,
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
-    )(idxp, w0, live, cols, zeros)
+    )(idxp, w0, w1, live, bound, cols, zeros)
 
 
 def pack_indices(alive: jnp.ndarray) -> jnp.ndarray:
@@ -195,3 +221,28 @@ def unpack_indices(alive: jnp.ndarray) -> jnp.ndarray:
     liveness — no sort at all), -1 for dead rays."""
     pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
     return jnp.where(alive, pos, -1).astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def lane_take_p(cols, idx, inv_idx, wcap=64):
+    """Differentiable ``lane_take``: a linear permutation-with-drop whose
+    transpose is the take by the INVERSE index (the caller supplies it —
+    for a stable pack that is ``unpack_indices``, and vice versa; invalid
+    (-1) lanes zero out in both directions, which is exactly the
+    transpose of the drop)."""
+    interpret = jax.default_backend() == "cpu"
+    return lane_take(cols, idx, wcap=wcap, interpret=interpret)
+
+
+def _lane_take_p_fwd(cols, idx, inv_idx, wcap):
+    return lane_take_p(cols, idx, inv_idx, wcap), (idx, inv_idx)
+
+
+def _lane_take_p_bwd(wcap, res, ct):
+    idx, inv_idx = res
+    interpret = jax.default_backend() == "cpu"
+    return (lane_take(ct, inv_idx, wcap=wcap, interpret=interpret),
+            None, None)
+
+
+lane_take_p.defvjp(_lane_take_p_fwd, _lane_take_p_bwd)

@@ -443,6 +443,75 @@ def draw_bounce_uniforms(
 BOUNCE_MULTI_POP = 4
 
 
+_LANE_WCAP = 64                  # pack band: occupancy >= 1/63 ~= 1.6%
+_LANE_OCC_MARGIN = 0.02          # identity fallback below this
+
+
+def _lane_pack_state(state):
+    """Per-ray stable live-ray packing of the wavefront state via the
+    banded one-hot-matmul kernel (kernels/lane_pack.py). Returns
+    ``(packed_state, lane_restore)`` with ``lane_restore(color)`` routing
+    per-ray results back to the pre-pack layout. Differentiable through
+    the packed planes (``lane_take_p``'s transpose is the inverse take).
+    When the live fraction is below the band margin the routing indices
+    degrade to the identity (a copy) — never an illegal band."""
+    from atray_tpu.kernels.lane_pack import (
+        lane_take_p,
+        pack_indices,
+        unpack_indices,
+    )
+
+    o, d, weight, color, alive, gid, rc = state
+    n = o.shape[0]
+    rows = n // 128
+
+    occ = jnp.mean(alive.astype(jnp.float32))
+    ok = occ >= _LANE_OCC_MARGIN
+    ident = jnp.arange(n, dtype=jnp.int32)
+    pidx = jnp.where(ok, pack_indices(alive), ident)
+    uidx = jnp.where(ok, unpack_indices(alive), ident)
+
+    def planes(x):
+        if x.ndim == 1:
+            return [x.astype(jnp.float32).reshape(rows, 128)]
+        return [x[:, k].reshape(rows, 128) for k in range(x.shape[1])]
+
+    cols = jnp.stack(
+        planes(o) + planes(d) + planes(weight) + planes(color)
+        + planes(alive) + planes(gid)
+    )                                              # (14, rows, 128)
+    pk = lane_take_p(cols, pidx, uidx, _LANE_WCAP)
+
+    def vec(k):
+        return jnp.stack(
+            [pk[k].reshape(-1), pk[k + 1].reshape(-1),
+             pk[k + 2].reshape(-1)], axis=1,
+        )
+
+    alive2 = pk[12].reshape(-1) > 0.5
+    gid2 = pk[13].reshape(-1).astype(jnp.int32)
+    o2, d2, w2, c2 = vec(0), vec(3), vec(6), vec(9)
+    # the packed tail is zeros — re-park dead lanes (same convention as
+    # the bounce step: far origin, +z, so they stay inert and their junk
+    # never reaches normalize/rsqrt in reverse mode)
+    o2 = jnp.where(alive2[:, None], o2, 1.0e7)
+    d2 = jnp.where(alive2[:, None], d2, jnp.asarray([0.0, 0.0, 1.0]))
+
+    alive_pre = alive
+    color_pre = color
+
+    def lane_restore(col):
+        # live rays' final color routes back through the inverse take;
+        # rays already dead AT PACK TIME were dropped by the pack but
+        # keep the radiance they had accumulated — splice it back in
+        cp = jnp.stack([col[:, k].reshape(rows, 128) for k in range(3)])
+        up = lane_take_p(cp, uidx, pidx, _LANE_WCAP)
+        up = jnp.stack([up[k].reshape(-1) for k in range(3)], axis=1)
+        return jnp.where(alive_pre[:, None], up, color_pre)
+
+    return (o2, d2, w2, c2, alive2, gid2, rc), lane_restore
+
+
 def _split_accel(accel):
     """(primary_accel, bounce_accel, needs_peel) — static kernel dispatch.
 
@@ -484,6 +553,7 @@ def trace_radiance(
     remat: bool = True,
     hit_override: Optional[Callable] = None,
     occl_override: Optional[Callable] = None,
+    lane_pack: bool = True,
 ):
     """Path-trace each ray to its radiance (R, 3).
 
@@ -828,10 +898,32 @@ def trace_radiance(
             def restore(c):
                 return c[inv]
 
-        return (
+        state_r = (
             take(o), take(d), take(weight), take(color), take(alive),
             take(gid), rc,
-        ), restore
+        )
+
+        # Per-RAY lane packing on top of the row sort (kernels/
+        # lane_pack.py): live rays densify to a prefix of LANES, not just
+        # rows, so later bounces' blocks stop walking broad unions for a
+        # handful of live lanes (docs/KERNELS.md lesson 8). The banded
+        # kernel needs occupancy >= ~1/(wcap-1); below the margin (or for
+        # tiny/huge wavefronts) the index arrays become the identity and
+        # the pack is a copy — legality by construction, no cond.
+        if (
+            lane_pack
+            and hit_override is None
+            and n % lane == 0
+            and n // lane >= 64
+            and n < 2 ** 24          # ids ride f32 planes exactly
+        ):
+            state_r, lane_restore = _lane_pack_state(state_r)
+            row_restore = restore
+
+            def restore(c):
+                return row_restore(lane_restore(c))
+
+        return state_r, restore
 
     def bounce_step(state, b, accel_, split=False, mp=1):
         """One wavefront bounce. ``b`` may be a static int (peeled primary)
@@ -1057,6 +1149,7 @@ def _trace_chunked(
             scene, orig, dirn, settings.bounce_limit, key=key,
             uniforms=uniforms, accel=accel, sort_rays=settings.sort_bounces,
             nee=settings.nee, return_stats=True, ray_ids=ray_ids,
+            lane_pack=settings.lane_pack,
         )
         return color, stats["rays_cast"]
 
@@ -1089,6 +1182,7 @@ def _trace_chunked(
                 scene, o, d, settings.bounce_limit, key=key, uniforms=un,
                 accel=accel, sort_rays=settings.sort_bounces,
                 nee=settings.nee, return_stats=True, ray_ids=ids,
+                lane_pack=settings.lane_pack,
             )
 
         xs = (
@@ -1103,6 +1197,7 @@ def _trace_chunked(
                 scene, o, d, settings.bounce_limit, key=key,
                 accel=accel, sort_rays=settings.sort_bounces,
                 nee=settings.nee, return_stats=True, ray_ids=ids,
+                lane_pack=settings.lane_pack,
             )
 
         xs = (

@@ -157,9 +157,12 @@ def main() -> None:
     )
     bkey = jax.random.PRNGKey(3)
 
-    def fwd(params):
+    # every timed call gets a FRESH key: the relay caches repeat dispatches
+    # with identical arguments, which silently turns a re-timing into a
+    # no-op (measured 0.5 ms for a full render)
+    def fwd(params, k):
         sc = scene.with_params(params)
-        return jnp.sum(render(sc, cam, bw_settings, bkey, accel=accel))
+        return jnp.sum(render(sc, cam, bw_settings, k, accel=accel))
 
     t_f = t_b = bwd_fwd_ratio = float("nan")
     if os.environ.get("ATRAY_BENCH_BWD", "1") == "1":
@@ -167,14 +170,20 @@ def main() -> None:
             params = scene.params()
             jf = jax.jit(fwd)
             jg = jax.jit(jax.grad(fwd))
-            jf(params).block_until_ready()
-            jax.block_until_ready(jg(params))
-            t0 = time.perf_counter()
-            jf(params).block_until_ready()
-            t_f = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            jax.block_until_ready(jg(params))
-            t_b = time.perf_counter() - t0
+            jf(params, bkey).block_until_ready()
+            jax.block_until_ready(jg(params, bkey))
+
+            def timed(fn):
+                ts = []
+                for i in range(2):
+                    k = jax.random.fold_in(bkey, i + 1)
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(fn(params, k))
+                    ts.append(time.perf_counter() - t0)
+                return min(ts)
+
+            t_f = timed(jf)
+            t_b = timed(jg)
             bwd_fwd_ratio = t_b / t_f
         except Exception as e:  # report forward perf even if grads fail
             print(f"backward probe failed: {e}", file=sys.stderr)

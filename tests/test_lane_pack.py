@@ -89,3 +89,82 @@ def test_pack_indices_are_banded(rng):
         v = pidx[r][pidx[r] >= 0]
         if len(v):
             assert v.max() - v.min() < (wcap - 1) * LANE
+
+
+def _pack_scene():
+    from atray_tpu.scene import build_scene, procedural
+    from atray_tpu.scene.data import Planes, make_materials
+    from atray_tpu.scene.transforms import translate
+
+    mats = make_materials([
+        ((0.35, 0.45, 0.65), (0.0, 0.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0), (0.75, 0.55, 0.35), 0.15),
+        ((0.0, 0.0, 0.0), (0.6, 0.6, 0.65), 0.0),
+    ])
+    m = translate(
+        procedural.uv_sphere(rows=10, cols=10, material=1, smooth=True),
+        (0, 0, -4),
+    )
+    planes = Planes(
+        normals=jnp.asarray([[0.0, 1.0, 0.0]]),
+        offsets=jnp.asarray([-1.4]),
+        material_id=jnp.asarray([2], jnp.int32),
+    )
+    return build_scene([m], planes=planes, materials=mats)
+
+
+def test_lane_packed_render_matches_unpacked():
+    # the production integration: sort_bounces + lane_pack must produce
+    # the SAME image as sort without packing and as no sort at all —
+    # packing only moves rays between lanes, never changes their math
+    # (needs n >= 64 rows = 8192 rays for the pack gate to engage)
+    from atray_tpu.config import RenderSettings
+    from atray_tpu.core.camera import look_at_camera
+    from atray_tpu.render.wavefront import render
+
+    scene = _pack_scene()
+    cam = look_at_camera((0, 0.6, 0.7), (0, 0, -4), h_fov=0.9, aspect=2.0)
+    key = jax.random.PRNGKey(0)
+
+    def go(sort, pack):
+        s = RenderSettings(
+            resolution=(128, 64), samples_per_pixel=1, bounce_limit=3,
+            sort_bounces=sort, lane_pack=pack,
+        )
+        return np.asarray(render(scene, cam, s, key))
+
+    packed = go(True, True)
+    rowonly = go(True, False)
+    plain = go(False, False)
+    np.testing.assert_array_equal(packed, rowonly)
+    np.testing.assert_array_equal(packed, plain)
+    assert plain.std() > 0.01
+
+
+def test_lane_packed_grads_match_unpacked():
+    # gradients flow THROUGH the pack (lane_take_p's transpose is the
+    # inverse take): albedo/vertex grads of the packed render must match
+    # the unpacked ones
+    from atray_tpu.config import RenderSettings
+    from atray_tpu.core.camera import look_at_camera
+    from atray_tpu.render.wavefront import render
+
+    scene = _pack_scene()
+    cam = look_at_camera((0, 0.6, 0.7), (0, 0, -4), h_fov=0.9, aspect=2.0)
+    key = jax.random.PRNGKey(1)
+
+    def loss(p, pack):
+        s = RenderSettings(
+            resolution=(128, 64), samples_per_pixel=1, bounce_limit=3,
+            sort_bounces=True, lane_pack=pack,
+        )
+        return jnp.sum(render(scene.with_params(p), cam, s, key))
+
+    g1 = jax.grad(lambda p: loss(p, True))(scene.params())
+    g2 = jax.grad(lambda p: loss(p, False))(scene.params())
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
+    assert float(jnp.max(jnp.abs(g1.albedo))) > 1e-4
