@@ -202,6 +202,10 @@ def cmd_render(args) -> int:
             settings = dataclasses.replace(
                 settings, sort_bounces=args.sort_bounces
             )
+        if args.lane_pack is not None:
+            settings = dataclasses.replace(
+                settings, lane_pack=args.lane_pack
+            )
         if args.chunk is not None:
             settings = dataclasses.replace(settings, ray_chunk=args.chunk)
         if args.no_accel:
@@ -359,6 +363,11 @@ def main(argv=None) -> int:
                     default=None,
                     help="ray-queue compaction after the first diffuse "
                          "bounce (ON by default; --no-sort-bounces disables)")
+    pr.add_argument("--lane-pack", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="per-ray live-lane packing on top of the row "
+                         "compaction (kernels/lane_pack.py; ON by default, "
+                         "bit-identical output; --no-lane-pack disables)")
     pr.add_argument("--chunk", type=int, default=None,
                     help="trace rays in chunks of this many (device memory bound)")
     pr.add_argument("--no-accel", action="store_true",
