@@ -480,7 +480,7 @@ def _lane_pack_state(state):
         planes(o) + planes(d) + planes(weight) + planes(color)
         + planes(alive) + planes(gid)
     )                                              # (14, rows, 128)
-    pk = lane_take_p(cols, pidx, uidx, _LANE_WCAP)
+    pk = lane_take_p(cols, pidx, _LANE_WCAP)
 
     def vec(k):
         return jnp.stack(
@@ -505,7 +505,7 @@ def _lane_pack_state(state):
         # rays already dead AT PACK TIME were dropped by the pack but
         # keep the radiance they had accumulated — splice it back in
         cp = jnp.stack([col[:, k].reshape(rows, 128) for k in range(3)])
-        up = lane_take_p(cp, uidx, pidx, _LANE_WCAP)
+        up = lane_take_p(cp, uidx, _LANE_WCAP)
         up = jnp.stack([up[k].reshape(-1) for k in range(3)], axis=1)
         return jnp.where(alive_pre[:, None], up, color_pre)
 

@@ -208,6 +208,34 @@ def main():
     report["checks"]["hit_parity_monkey"] = hit_parity(
         mscene, maccel, morig, mdirn, variants)
 
+    # --- lane-route kernel: bit-exact on the real chip --------------------
+    # (guards the pack against the default-matmul bf16 truncation Mosaic
+    # applies to f32 operands — caught live in probe_r21; the kernel must
+    # route arbitrary f32 bit patterns, including integer gid planes up
+    # to 2^24, EXACTLY)
+    from atray_tpu.kernels.lane_pack import lane_take, pack_indices
+
+    rng = np.random.default_rng(3)
+    rows_lp, c_lp = 1024, 14
+    n_lp = rows_lp * 128
+    cols_lp = rng.normal(size=(c_lp, rows_lp, 128)).astype(np.float32)
+    cols_lp[-1] = rng.integers(0, 2 ** 24, size=(rows_lp, 128)).astype(
+        np.float32)                       # a gid-like integer plane
+    alive_lp = jnp.asarray(rng.random(n_lp) < 0.05)
+    pidx = jax.jit(pack_indices)(alive_lp)
+    got_lp = np.asarray(lane_take(jnp.asarray(cols_lp), pidx, wcap=64))
+    idx_np = np.asarray(pidx)
+    want_lp = np.where(
+        idx_np[None, :] >= 0,
+        cols_lp.reshape(c_lp, n_lp)[:, np.clip(idx_np, 0, n_lp - 1)],
+        0.0,
+    ).reshape(c_lp, rows_lp, 128)
+    lp_bad = int((got_lp != want_lp).sum())
+    report["checks"]["lane_route_bit_exact"] = {
+        "mismatched_elems": lp_bad,
+        "pass": lp_bad == 0,
+    }
+
     # --- 2+3. full render + grads: TPU vs CPU interpret -------------------
     from atray_tpu.render.wavefront import render
 

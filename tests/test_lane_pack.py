@@ -50,6 +50,114 @@ def test_lane_take_matches_reference_banded(rng):
     np.testing.assert_array_equal(np.asarray(out), _ref_take(cols, idx))
 
 
+def test_lane_take_stream_multislab(rng):
+    # > 2048 rows takes the streaming-slab kernel with MULTIPLE slabs
+    # (rows=2560 -> S=512, 5 slabs): exercises the ring advance, the
+    # lazy half waits, sparse-output slab skipping (unpack), and the
+    # slab flush/zero logic — all invisible at single-slab test sizes.
+    from atray_tpu.kernels.lane_pack import unpack_indices
+
+    rows, c = 2560, 3
+    n = rows * LANE
+    cols = _cols(rng, c, rows)
+    # clustered liveness so window anchors jump whole slabs
+    alive = rng.random(n) < 0.04
+    alive[: n // 4] = False
+    alive[n // 2 : n // 2 + n // 8] = rng.random(n // 8) < 0.3
+    alive_j = jnp.asarray(alive)
+
+    pidx = pack_indices(alive_j)
+    packed = lane_take(cols, pidx, wcap=64, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(packed), _ref_take(cols, np.asarray(pidx))
+    )
+
+    uidx = unpack_indices(alive_j)
+    restored = lane_take(packed, uidx, wcap=64, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(restored), _ref_take(packed, np.asarray(uidx))
+    )
+
+
+def test_lane_scatter_matches_reference(rng):
+    # scatter = the cumsum-only routing direction: dst built from a plain
+    # cumsum over liveness, out[:, dst[i]] = cols[:, i]
+    from atray_tpu.kernels.lane_pack import lane_scatter
+
+    rows, c = 2560, 4
+    n = rows * LANE
+    cols = _cols(rng, c, rows)
+    alive = rng.random(n) < 0.05
+    alive[: n // 3] = False
+    dst = np.where(alive, np.cumsum(alive) - 1, -1).astype(np.int32)
+
+    out = lane_scatter(cols, jnp.asarray(dst), wcap=64, interpret=True)
+    want = np.zeros((c, n), np.float32)
+    flat = np.asarray(cols).reshape(c, n)
+    want[:, dst[alive]] = flat[:, alive]
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(c, n), want
+    )
+
+
+def test_lane_scatter_unpack_direction(rng):
+    # scatter with dst = sparse original positions (the per-bounce color
+    # delta bank-back): monotone but gappy destinations
+    from atray_tpu.kernels.lane_pack import lane_scatter
+
+    rows, c = 2560, 3
+    n = rows * LANE
+    cols = _cols(rng, c, rows)
+    n_live = n // 20
+    positions = np.sort(
+        rng.choice(n, size=n_live, replace=False)
+    ).astype(np.int32)
+    dst = np.full(n, -1, np.int32)
+    dst[:n_live] = positions                      # packed prefix -> spread
+
+    out = lane_scatter(cols, jnp.asarray(dst), wcap=64, interpret=True)
+    want = np.zeros((c, n), np.float32)
+    flat = np.asarray(cols).reshape(c, n)
+    want[:, positions] = flat[:, :n_live]
+    np.testing.assert_array_equal(np.asarray(out).reshape(c, n), want)
+
+
+def test_lane_take_scatter_vjp_pair(rng):
+    # the adjoint of gather is duplicate-summing scatter and vice versa:
+    # check both custom VJPs against explicit jacobian-vector products
+    from atray_tpu.kernels.lane_pack import lane_scatter_p, lane_take_p
+
+    rows, c = 16, 2
+    n = rows * LANE
+    cols = _cols(rng, c, rows)
+    alive = rng.random(n) < 0.3
+    pidx = np.asarray(pack_indices(jnp.asarray(alive)))
+    dst = np.where(alive, np.cumsum(alive) - 1, -1).astype(np.int32)
+
+    ct = jnp.asarray(rng.normal(size=(c, rows, LANE)).astype(np.float32))
+
+    # take VJP == scatter of the cotangent
+    _, vjp_t = jax.vjp(
+        lambda x: lane_take_p(x, jnp.asarray(pidx), 8), cols
+    )
+    got_t = np.asarray(vjp_t(ct)[0]).reshape(c, n)
+    want_t = np.zeros((c, n), np.float32)
+    ctf = np.asarray(ct).reshape(c, n)
+    valid = pidx >= 0
+    np.add.at(want_t.T, pidx[valid], ctf.T[valid])
+    np.testing.assert_array_equal(got_t, want_t)
+
+    # scatter VJP == take of the cotangent
+    _, vjp_s = jax.vjp(
+        lambda x: lane_scatter_p(x, jnp.asarray(dst), 8), cols
+    )
+    got_s = np.asarray(vjp_s(ct)[0]).reshape(c, n)
+    want_s = np.where(
+        dst[None, :] >= 0, ctf[:, np.clip(dst, 0, n - 1)], 0.0
+    )
+    np.testing.assert_array_equal(got_s, want_s)
+
+
 def test_pack_unpack_round_trip(rng):
     rows, c = 32, 4
     n = rows * LANE
