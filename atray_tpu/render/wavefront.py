@@ -819,30 +819,46 @@ def trace_radiance(
 
     def sort_key(o, d, alive):
         """Compaction key: dead rays last; live rays grouped SPATIAL-major
-        (fine origin cell, 4 bits/axis over the mesh bounds) with the
-        direction octant as tiebreak. Measured (scripts/probe_r3.py,
-        dragon+floor, v5e): spatial-major is 2.8x on sparse late bounces
-        (84 vs 235 ms/2M) and 1.13x on the dense first diffuse bounce,
-        while the previous DIRECTION-major key was a 2x LOSS — a
+        (MORTON-interleaved origin cell, 6 bits/axis over the mesh
+        bounds) with the direction octant as tiebreak. Measured
+        (scripts/probe_r3.py, dragon+floor, v5e): spatial-major is 2.8x
+        on sparse late bounces and 1.13x on the dense first diffuse
+        bounce, while a DIRECTION-major key was a 2x LOSS — a
         block-synchronous walk cares about shared ray ORIGINS (one tree
-        region) far more than shared direction; direction-binning full
-        frames scatters origins and the per-block union explodes."""
+        region) far more than shared direction. Morton order (round 3)
+        replaces the earlier raster order (x<<8|y<<4|z), whose
+        consecutive cells wrap across the whole scene in y/z — bit
+        interleaving keeps consecutive keys spatially ADJACENT, so an
+        8-row traversal block spans a compact region instead of a
+        raster scanline."""
         if scene.mesh.num_vertices > 0:
             v = scene.mesh.vertices
             lo = jnp.min(v, axis=0)
             hi = jnp.max(v, axis=0)
             q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
-            cell = (q * 15.0).astype(jnp.int32)
+            cell = (q * 63.0).astype(jnp.int32)
         else:
             cell = jnp.zeros(o.shape, jnp.int32)
+
+        def spread3(x):
+            # spread up to 10 bits so bit k lands at position 3k
+            x = (x | (x << 16)) & 0x030000FF
+            x = (x | (x << 8)) & 0x0300F00F
+            x = (x | (x << 4)) & 0x030C30C3
+            x = (x | (x << 2)) & 0x09249249
+            return x
+
+        morton = (
+            (spread3(cell[:, 0]) << 2)
+            | (spread3(cell[:, 1]) << 1)
+            | spread3(cell[:, 2])
+        )
         octd = (
             (d[:, 0] > 0).astype(jnp.int32) * 4
             + (d[:, 1] > 0).astype(jnp.int32) * 2
             + (d[:, 2] > 0).astype(jnp.int32)
         )
-        key_ = (
-            ((cell[:, 0] << 4 | cell[:, 1]) << 4 | cell[:, 2]) << 3
-        ) | octd
+        key_ = (morton << 3) | octd
         return jnp.where(alive, key_, jnp.int32(1) << 30)
 
     def compact_state(state):
@@ -1059,6 +1075,98 @@ def trace_radiance(
             ),
         )
 
+    def repack_scan(state, start):
+        """Scan bounces ``start..bounce_limit`` with PER-BOUNCE lane
+        re-packing (docs/KERNELS.md lesson 8 closed): the wavefront stays
+        lane-dense every bounce, so late bounces stop walking broad
+        divergent unions for a handful of live lanes. All routing is the
+        cumsum-only ``lane_scatter_p`` (kernels/lane_pack.py) — no argsort,
+        no XLA scatter, bit-exact routing:
+
+        - the bounce body runs with a ZERO color carry, so its color
+          output is the bounce's radiance DELTA; the delta's terms are
+          disjoint-masked (sky XOR hit-emission XOR NEE-direct per lane),
+          so banking it into the full-width ``color_full`` is the same
+          one-add-per-ray-per-bounce sequence as the unpacked path —
+          the film stays bit-identical.
+        - ``color_full`` lives in the post-compaction layout and never
+          moves; each lane carries ``p0``, its position there. Deltas
+          bank at dst = p0 — always band-legal, because deaths never MOVE
+          lanes: rays sharing a p0-row sat within ~2 rows at the last
+          pack and only disappear afterwards.
+        - survivors re-pack at dst = cumsum(alive)-1. Below a ~2% density
+          margin the dst degrades to identity-with-drop (lanes stay put),
+          keeping the band legal by construction.
+        """
+        from atray_tpu.kernels.lane_pack import lane_scatter_p
+
+        rows = r // 128
+        iota = jnp.arange(r, dtype=jnp.int32)
+
+        def planes(x):
+            if x.ndim == 1:
+                return [x.astype(jnp.float32).reshape(rows, 128)]
+            return [x[:, k].reshape(rows, 128) for k in range(x.shape[1])]
+
+        def unvec(pk, k):
+            return jnp.stack(
+                [pk[k].reshape(-1), pk[k + 1].reshape(-1),
+                 pk[k + 2].reshape(-1)], axis=1,
+            )
+
+        def body(carry, b):
+            o, d, weight, alive, gid, p0, color_full, rc = carry
+            st = (o, d, weight, jnp.zeros((r, 3)), alive, gid, rc)
+            o2, d2, w2, delta, alive_new, gid2, rc = bounce_step(
+                st, b, bounce_accel, split=False, mp=bounce_mp
+            )
+
+            # bank this bounce's radiance at the rays' layout positions
+            dst_d = jnp.where(alive, p0, jnp.int32(-1))
+            routed = lane_scatter_p(
+                jnp.stack(planes(delta)), dst_d, _LANE_WCAP
+            )
+            color_full = color_full + unvec(routed, 0)
+
+            # re-pack survivors to a dense lane prefix
+            n_new = jnp.sum(alive_new.astype(jnp.int32))
+            pos_max = jnp.max(jnp.where(alive_new, iota, -1))
+            ok = n_new * 50 >= pos_max + 1       # ~2% density margin
+            nz = jnp.cumsum(alive_new.astype(jnp.int32)) - 1
+            dst_p = jnp.where(
+                alive_new, jnp.where(ok, nz, iota), jnp.int32(-1)
+            )
+            cols = jnp.stack(
+                planes(o2) + planes(d2) + planes(w2)
+                + planes(gid2) + planes(p0)
+            )                                     # (11, rows, 128)
+            pk = lane_scatter_p(cols, dst_p, _LANE_WCAP)
+            alive3 = jnp.where(ok, iota < n_new, alive_new)
+            o3, d3, w3 = unvec(pk, 0), unvec(pk, 3), unvec(pk, 6)
+            gid3 = pk[9].reshape(-1).astype(jnp.int32)
+            p03 = pk[10].reshape(-1).astype(jnp.int32)
+            # scatter leaves untargeted lanes zero — re-park dead lanes
+            # (bounce-step convention: far origin, +z)
+            o3 = jnp.where(alive3[:, None], o3, 1.0e7)
+            d3 = jnp.where(alive3[:, None], d3, jnp.asarray([0.0, 0.0, 1.0]))
+            return (o3, d3, w3, alive3, gid3, p03, color_full, rc), None
+
+        if remat:
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "hit_shade"
+                ),
+            )
+
+        o, d, weight, color, alive, gid, rc = state
+        carry = (o, d, weight, alive, gid, iota, color, rc)
+        carry, _ = jax.lax.scan(
+            body, carry, jnp.arange(start, bounce_limit)
+        )
+        o, d, weight, alive, gid, _p0, color, rc = carry
+        return (o, d, weight, color, alive, gid, rc)
+
     start = 0
     if needs_peel and bounce_limit > 0:
         # same mp as the scan: the peeled primary shares the scan's kernel
@@ -1086,9 +1194,23 @@ def trace_radiance(
     else:
         restore = None
     if bounce_limit > start:
-        state, _ = jax.lax.scan(
-            scan_body, state, jnp.arange(start, bounce_limit)
+        from atray_tpu.kernels.lane_pack import _stream_slab_rows
+
+        can_repack = (
+            restore is not None
+            and lane_pack
+            and hit_override is None
+            and r % 128 == 0
+            and r // 128 >= 64
+            and r < 2 ** 24
+            and _stream_slab_rows(r // 128, _LANE_WCAP) != 0
         )
+        if can_repack:
+            state = repack_scan(state, start)
+        else:
+            state, _ = jax.lax.scan(
+                scan_body, state, jnp.arange(start, bounce_limit)
+            )
 
     o, d, weight, color, alive, gid, rays_cast = state
     if restore is not None:

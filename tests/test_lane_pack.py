@@ -236,7 +236,7 @@ def test_lane_packed_render_matches_unpacked():
 
     def go(sort, pack):
         s = RenderSettings(
-            resolution=(128, 64), samples_per_pixel=1, bounce_limit=3,
+            resolution=(128, 64), samples_per_pixel=1, bounce_limit=4,
             sort_bounces=sort, lane_pack=pack,
         )
         return np.asarray(render(scene, cam, s, key))
@@ -263,7 +263,7 @@ def test_lane_packed_grads_match_unpacked():
 
     def loss(p, pack):
         s = RenderSettings(
-            resolution=(128, 64), samples_per_pixel=1, bounce_limit=3,
+            resolution=(128, 64), samples_per_pixel=1, bounce_limit=4,
             sort_bounces=True, lane_pack=pack,
         )
         return jnp.sum(render(scene.with_params(p), cam, s, key))
