@@ -460,12 +460,15 @@ def _stream_slab_rows(rows: int, wcap: int) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("wcap", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("wcap", "interpret", "anchor_align")
+)
 def lane_take(
     cols: jnp.ndarray,     # (C, rows, 128) f32
     idx: jnp.ndarray,      # (rows*128,) i32; -1 = leave output lane 0
     wcap: int = 64,
     interpret: bool = False,
+    anchor_align: int = 0,
 ) -> jnp.ndarray:
     """out[:, i] = cols[:, idx[i]] (flat ray indexing); idx < 0 -> 0.
 
@@ -489,7 +492,12 @@ def lane_take(
     big = jnp.int32(rows * LANE)
     rmin = jnp.min(jnp.where(valid, idxp, big), axis=1)
     live = jnp.any(valid, axis=1)
-    w0 = jnp.clip(rmin // LANE, 0, max(rows - wcap, 0)).astype(jnp.int32)
+    w0 = (rmin // LANE).astype(jnp.int32)
+    if anchor_align > 1:
+        # segment-local (non-monotone within a segment) index maps keep
+        # their anchors uniform per segment — see lane_scatter
+        w0 = (w0 // anchor_align) * anchor_align
+    w0 = jnp.clip(w0, 0, max(rows - wcap, 0))
     w0 = jnp.where(live, w0, 0)
     rmax = jnp.max(jnp.where(valid, idxp, -1), axis=1)
     w1 = jnp.clip(rmax // LANE - w0 + 1, 0, wcap).astype(jnp.int32)
@@ -550,12 +558,15 @@ def lane_take(
     return call(idxp, rlist, ww, n_live, cols, zeros)
 
 
-@functools.partial(jax.jit, static_argnames=("wcap", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("wcap", "interpret", "anchor_align")
+)
 def lane_scatter(
     cols: jnp.ndarray,     # (C, rows, 128) f32
     dst: jnp.ndarray,      # (rows*128,) i32; -1 = drop this input lane
     wcap: int = 64,
     interpret: bool = False,
+    anchor_align: int = 0,
 ) -> jnp.ndarray:
     """out[:, dst[i]] = cols[:, i] (flat ray indexing); dst < 0 drops the
     lane; output lanes nobody targets stay 0; duplicate dsts SUM.
@@ -566,6 +577,14 @@ def lane_scatter(
     monotone it is built with a plain cumsum — no argsort anywhere,
     which is the point: per-bounce wavefront re-packing pays one cumsum
     + one kernel call. Bit-exact (HIGHEST-precision one-hot routing).
+
+    ``anchor_align`` relaxes monotonicity to SEGMENT-LOCAL permutations:
+    with anchor_align = A (input rows), window anchors floor to multiples
+    of A, so dst may reorder freely WITHIN each A-row input segment (e.g.
+    a per-neighborhood counting sort by direction octant) as long as each
+    output row's sources span < wcap rows from its floored anchor. The
+    floored anchors are non-decreasing whenever segments map to
+    non-decreasing output ranges, which keeps the streaming ring legal.
     """
     c, rows, lane = cols.shape
     assert lane == LANE
@@ -591,6 +610,8 @@ def lane_scatter(
         - 1
     )
     live = (w0 <= wend) & (wend >= 0) & (w0 < rows)
+    if anchor_align > 1:
+        w0 = (w0 // anchor_align) * anchor_align
     w0 = jnp.clip(w0, 0, max(rows - wcap, 0))
     w0 = jnp.where(live, w0, 0)
     span = jnp.clip(wend - w0 + 1, 0, wcap)
@@ -651,43 +672,47 @@ def unpack_indices(alive: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(alive, pos, -1).astype(jnp.int32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def lane_take_p(cols, idx, wcap=64):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def lane_take_p(cols, idx, wcap=64, anchor_align=0):
     """Differentiable ``lane_take``. The take y[:, i] = x[:, idx[i]] is
     linear in x; its exact transpose is the SCATTER by the same index
     (ct_x[:, idx[i]] += ct_y[:, i]) — duplicate-summing scatter is the
     adjoint of gather, so the pair needs no inverse-index plumbing."""
     interpret = jax.default_backend() == "cpu"
-    return lane_take(cols, idx, wcap=wcap, interpret=interpret)
+    return lane_take(cols, idx, wcap=wcap, interpret=interpret,
+                     anchor_align=anchor_align)
 
 
-def _lane_take_p_fwd(cols, idx, wcap):
-    return lane_take_p(cols, idx, wcap), idx
+def _lane_take_p_fwd(cols, idx, wcap, anchor_align):
+    return lane_take_p(cols, idx, wcap, anchor_align), idx
 
 
-def _lane_take_p_bwd(wcap, idx, ct):
+def _lane_take_p_bwd(wcap, anchor_align, idx, ct):
     interpret = jax.default_backend() == "cpu"
-    return (lane_scatter(ct, idx, wcap=wcap, interpret=interpret), None)
+    return (lane_scatter(ct, idx, wcap=wcap, interpret=interpret,
+                         anchor_align=anchor_align), None)
 
 
 lane_take_p.defvjp(_lane_take_p_fwd, _lane_take_p_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def lane_scatter_p(cols, dst, wcap=64):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def lane_scatter_p(cols, dst, wcap=64, anchor_align=0):
     """Differentiable ``lane_scatter``; transpose is the take by ``dst``
     (the mirror image of ``lane_take_p``)."""
     interpret = jax.default_backend() == "cpu"
-    return lane_scatter(cols, dst, wcap=wcap, interpret=interpret)
+    return lane_scatter(cols, dst, wcap=wcap, interpret=interpret,
+                        anchor_align=anchor_align)
 
 
-def _lane_scatter_p_fwd(cols, dst, wcap):
-    return lane_scatter_p(cols, dst, wcap), dst
+def _lane_scatter_p_fwd(cols, dst, wcap, anchor_align):
+    return lane_scatter_p(cols, dst, wcap, anchor_align), dst
 
 
-def _lane_scatter_p_bwd(wcap, dst, ct):
+def _lane_scatter_p_bwd(wcap, anchor_align, dst, ct):
     interpret = jax.default_backend() == "cpu"
-    return (lane_take(ct, dst, wcap=wcap, interpret=interpret), None)
+    return (lane_take(ct, dst, wcap=wcap, interpret=interpret,
+                      anchor_align=anchor_align), None)
 
 
 lane_scatter_p.defvjp(_lane_scatter_p_fwd, _lane_scatter_p_bwd)

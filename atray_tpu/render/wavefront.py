@@ -512,6 +512,126 @@ def _lane_pack_state(state):
     return (o2, d2, w2, c2, alive2, gid2, rc), lane_restore
 
 
+_NB_ROWS = 64                    # octant-regroup neighborhood (64 rows)
+
+
+def _nb_wcap(rows: int) -> int:
+    """Window for nb-local routing: neighborhood span + quad rounding,
+    clamped into the buffer (tiny buffers are a single neighborhood, so
+    the whole buffer is the window)."""
+    return min(_NB_ROWS + 4, (rows // 4) * 4)
+
+
+def _class_rank_dst(cls, n_classes: int, nb: int, alive=None):
+    """Counting-sort destination map: within each ``nb``-ray neighborhood,
+    lanes reorder into class-major segments (stable within class). Pure
+    cumsums — no argsort. With ``alive`` given, dead lanes get dst = -1
+    and each neighborhood's live lanes pack to ITS OWN prefix (nb-LOCAL:
+    window <= nb rows from the neighborhood start, so the banded routing
+    stays legal at ANY occupancy — global packing would draw one output
+    row from arbitrarily many sparse neighborhoods); returns (dst,
+    new_alive). Without ``alive`` the map is a full within-neighborhood
+    permutation and returns just dst."""
+    n = cls.shape[0]
+    n_nb = -(-n // nb)
+    pad = n_nb * nb - n
+
+    def per_nb(m):
+        mp = jnp.concatenate([m, jnp.zeros((pad,), m.dtype)]) if pad else m
+        return mp.reshape(n_nb, nb)
+
+    def lanes_of(per_nb_vals):
+        # (n_nb,) per-neighborhood value -> per-lane, no gather
+        full = jnp.broadcast_to(per_nb_vals[:, None], (n_nb, nb))
+        return full.reshape(-1)[:n]
+
+    rank = jnp.zeros((n,), jnp.int32)
+    counts = []
+    for c in range(n_classes):
+        m = (cls == c).astype(jnp.int32)
+        if alive is not None:
+            m = m * alive.astype(jnp.int32)
+        pref = jnp.cumsum(per_nb(m), axis=1)
+        counts.append(pref[:, -1])                    # (n_nb,)
+        pr = pref.reshape(-1)[:n]
+        rank = jnp.where(cls == c, pr - 1, rank)
+    counts = jnp.stack(counts, axis=0)                # (C, n_nb)
+    # class offsets within each neighborhood (exclusive prefix over class)
+    offs = jnp.concatenate(
+        [jnp.zeros((1, n_nb), jnp.int32), jnp.cumsum(counts, axis=0)[:-1]],
+        axis=0,
+    )
+    nb_base = jnp.arange(n_nb, dtype=jnp.int32) * nb
+    off_lane = jnp.zeros((n,), jnp.int32)
+    for c in range(n_classes):
+        off_lane = jnp.where(cls == c, lanes_of(offs[c]), off_lane)
+    dst = lanes_of(nb_base) + off_lane + rank
+    if alive is not None:
+        dst = jnp.where(alive, dst, jnp.int32(-1)).astype(jnp.int32)
+        nb_live = jnp.sum(counts, axis=0)             # (n_nb,)
+        pos_in_nb = jnp.arange(n, dtype=jnp.int32) % nb
+        new_alive = pos_in_nb < lanes_of(nb_live)
+        return dst, new_alive
+    return dst.astype(jnp.int32)
+
+
+def _octant_regroup(state):
+    """Full within-neighborhood permutation grouping rays by direction
+    OCTANT before the first diffuse bounce: blocks become direction-pure
+    while origins stay neighborhood-local (film tiles). Measured on the
+    REAL bounce-1 state (scripts/probe_r26.py, dragon 139k, v5e):
+    film-tile order 3.76 M live rays/s -> nb=64-row octant groups
+    4.60 M/s (+22%); a GLOBAL (octant, morton) sort reaches 5.28 M/s but
+    is not expressible as one banded routing pass (future: segment-merge
+    second pass). Dead lanes sort to a 9th class per neighborhood.
+    Returns (state, restore) like _lane_pack_state."""
+    from atray_tpu.kernels.lane_pack import lane_scatter_p, lane_take_p
+
+    o, d, weight, color, alive, gid, rc = state
+    n = o.shape[0]
+    rows = n // 128
+
+    octd = (
+        (d[:, 0] > 0).astype(jnp.int32) * 4
+        + (d[:, 1] > 0).astype(jnp.int32) * 2
+        + (d[:, 2] > 0).astype(jnp.int32)
+    )
+    cls = jnp.where(alive, octd, jnp.int32(8))        # dead = class 8
+    dst = _class_rank_dst(cls, 9, _NB_ROWS * 128)
+
+    def planes(x):
+        if x.ndim == 1:
+            return [x.astype(jnp.float32).reshape(rows, 128)]
+        return [x[:, k].reshape(rows, 128) for k in range(x.shape[1])]
+
+    cols = jnp.stack(
+        planes(o) + planes(d) + planes(weight) + planes(color)
+        + planes(alive) + planes(gid)
+    )                                                 # (14, rows, 128)
+    # window: sources live within one 64-row neighborhood; wcap=68 covers
+    # the floored anchor plus quad rounding
+    pk = lane_scatter_p(cols, dst, _nb_wcap(rows), _NB_ROWS)
+
+    def vec(k):
+        return jnp.stack(
+            [pk[k].reshape(-1), pk[k + 1].reshape(-1),
+             pk[k + 2].reshape(-1)], axis=1,
+        )
+
+    alive2 = pk[12].reshape(-1) > 0.5
+    gid2 = pk[13].reshape(-1).astype(jnp.int32)
+    o2, d2, w2, c2 = vec(0), vec(3), vec(6), vec(9)
+    o2 = jnp.where(alive2[:, None], o2, 1.0e7)
+    d2 = jnp.where(alive2[:, None], d2, jnp.asarray([0.0, 0.0, 1.0]))
+
+    def oct_restore(col):
+        cp = jnp.stack([col[:, k].reshape(rows, 128) for k in range(3)])
+        up = lane_take_p(cp, dst, _nb_wcap(rows), _NB_ROWS)
+        return jnp.stack([up[k].reshape(-1) for k in range(3)], axis=1)
+
+    return (o2, d2, w2, c2, alive2, gid2, rc), oct_restore
+
+
 def _split_accel(accel):
     """(primary_accel, bounce_accel, needs_peel) — static kernel dispatch.
 
@@ -1121,27 +1241,33 @@ def trace_radiance(
                 st, b, bounce_accel, split=False, mp=bounce_mp
             )
 
-            # bank this bounce's radiance at the rays' layout positions
+            # bank this bounce's radiance at the rays' layout positions.
+            # Rays never leave their neighborhood (the repack below is
+            # nb-LOCAL), so sources for one p0-row stay within its
+            # neighborhood: anchor-aligned banding is legal forever.
             dst_d = jnp.where(alive, p0, jnp.int32(-1))
             routed = lane_scatter_p(
-                jnp.stack(planes(delta)), dst_d, _LANE_WCAP
+                jnp.stack(planes(delta)), dst_d, _nb_wcap(rows), _NB_ROWS
             )
             color_full = color_full + unvec(routed, 0)
 
-            # re-pack survivors to a dense lane prefix
-            n_new = jnp.sum(alive_new.astype(jnp.int32))
-            pos_max = jnp.max(jnp.where(alive_new, iota, -1))
-            ok = n_new * 50 >= pos_max + 1       # ~2% density margin
-            nz = jnp.cumsum(alive_new.astype(jnp.int32)) - 1
-            dst_p = jnp.where(
-                alive_new, jnp.where(ok, nz, iota), jnp.int32(-1)
+            # re-pack survivors: nb-local counting sort by direction
+            # OCTANT (probe_r26: direction-pure blocks with local origins
+            # beat plain packing) — every neighborhood's survivors group
+            # to its own class-major prefix; legal at any occupancy
+            octd = (
+                (d2[:, 0] > 0).astype(jnp.int32) * 4
+                + (d2[:, 1] > 0).astype(jnp.int32) * 2
+                + (d2[:, 2] > 0).astype(jnp.int32)
+            )
+            dst_p, alive3 = _class_rank_dst(
+                octd, 8, _NB_ROWS * 128, alive=alive_new
             )
             cols = jnp.stack(
                 planes(o2) + planes(d2) + planes(w2)
                 + planes(gid2) + planes(p0)
             )                                     # (11, rows, 128)
-            pk = lane_scatter_p(cols, dst_p, _LANE_WCAP)
-            alive3 = jnp.where(ok, iota < n_new, alive_new)
+            pk = lane_scatter_p(cols, dst_p, _nb_wcap(rows), _NB_ROWS)
             o3, d3, w3 = unvec(pk, 0), unvec(pk, 3), unvec(pk, 6)
             gid3 = pk[9].reshape(-1).astype(jnp.int32)
             p03 = pk[10].reshape(-1).astype(jnp.int32)
@@ -1167,12 +1293,28 @@ def trace_radiance(
         o, d, weight, alive, gid, _p0, color, rc = carry
         return (o, d, weight, color, alive, gid, rc)
 
+    from atray_tpu.kernels.lane_pack import _stream_slab_rows
+
+    lane_route_ok = (
+        lane_pack
+        and hit_override is None
+        and r % 128 == 0
+        and r // 128 >= 64
+        and r < 2 ** 24
+        and _stream_slab_rows(r // 128, _LANE_WCAP) != 0
+    )
+
     start = 0
+    oct_restore = None
     if needs_peel and bounce_limit > 0:
         # same mp as the scan: the peeled primary shares the scan's kernel
         # config, so Mosaic compiles ONE traversal kernel for the frame
         state = bounce_step(state, 0, primary_accel, mp=bounce_mp)
         start = 1
+    if sort_rays and lane_route_ok and bounce_limit > start:
+        # direction-octant regroup before the first diffuse bounce
+        # (probe_r26: +22% on the REAL b1 state; see _octant_regroup)
+        state, oct_restore = _octant_regroup(state)
     if sort_rays and bounce_limit > start + 1:
         # Run the first diffuse bounce at full wavefront, then compact
         # ONCE: its survivors (and all later bounces' — they are subsets)
@@ -1194,18 +1336,7 @@ def trace_radiance(
     else:
         restore = None
     if bounce_limit > start:
-        from atray_tpu.kernels.lane_pack import _stream_slab_rows
-
-        can_repack = (
-            restore is not None
-            and lane_pack
-            and hit_override is None
-            and r % 128 == 0
-            and r // 128 >= 64
-            and r < 2 ** 24
-            and _stream_slab_rows(r // 128, _LANE_WCAP) != 0
-        )
-        if can_repack:
+        if restore is not None and lane_route_ok:
             state = repack_scan(state, start)
         else:
             state, _ = jax.lax.scan(
@@ -1215,6 +1346,8 @@ def trace_radiance(
     o, d, weight, color, alive, gid, rays_cast = state
     if restore is not None:
         color = restore(color)
+    if oct_restore is not None:
+        color = oct_restore(color)
     if return_stats:
         return color, {"rays_cast": rays_cast}
     return color

@@ -7,7 +7,7 @@ glue). Also times the primary-only kernel call for reference.
 
 Run: python -u scripts/probe_frame.py
 Env: PF_SPP (8), PF_BOUNCES (5), PF_TRIS (139000), PF_CHUNK (default bench
-     chunk), PF_SORT (0)
+     chunk), PF_SORT (0), PF_LEAF (16)
 """
 
 import os
@@ -46,6 +46,7 @@ def main():
     bounces = int(os.environ.get("PF_BOUNCES", "5"))
     tris = int(os.environ.get("PF_TRIS", "139000"))
     sort = os.environ.get("PF_SORT", "0") == "1"
+    leaf = int(os.environ.get("PF_LEAF", "16"))
     w, h = 1920, 1080
     chunk = int(os.environ.get("PF_CHUNK", str(2 * w * h)))
 
@@ -64,7 +65,7 @@ def main():
     )
     scene = build_scene([dragon], planes=planes, materials=mats)
     t0 = time.perf_counter()
-    accel = build_shaded_accel(scene, KDTreeConfig(leaf_size=16))
+    accel = build_shaded_accel(scene, KDTreeConfig(leaf_size=leaf))
     jax.block_until_ready((accel.cboxes, accel.tris))
     print(f"accel: {accel.num_nodes} nodes, build {time.perf_counter()-t0:.2f}s",
           flush=True)
