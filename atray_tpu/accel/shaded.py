@@ -7,7 +7,11 @@ lane and dominated the frame (~0.6 s of a 0.77 s dragon frame). The fused
 kernel (kernels/wide_shade.py) instead reads each candidate triangle's
 record ONCE as broadcast lanes during the leaf test it already performs,
 interpolates the shading normal in-kernel, and outputs per-ray
-(t, id, normal, emission, albedo, scatter).
+(t, id, normal, material id); material constants resolve outside the
+kernel with a select chain over the tiny material table. The records
+still bake emission/albedo/scatter (columns 20-26) for layout stability,
+but the production kernel no longer reads them (round 4: the per-candidate
+material broadcasts + selects were ~20% of the leaf phase).
 
 Leaf record layout, lane stride 32 (4 records per 128-lane row):
   0-2  p0     3-5  e1     6-8  e2     9  face id (bitcast f32)

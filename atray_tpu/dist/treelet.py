@@ -667,8 +667,11 @@ def ring_first_hit_accel(
 ):
     """Kernel-backed global nearest hit: per hop, the resident treelet's
     fused wide-BVH kernel (kernels/wide_shade.py) answers the local query;
-    the carried best record keeps (t, normal, emission, albedo, scatter,
-    fid). Returns that tuple for the home rays after n_parts hops."""
+    the carried best record keeps (t, normal, material id, fid) — the id
+    rides the ring instead of 7 material-constant planes (round 4: the
+    kernel returns ``mat``; constants resolve at the home device from the
+    replicated material table). Returns that tuple for the home rays
+    after n_parts hops."""
     from atray_tpu.kernels.wide_shade import wide_shade_first_hit
 
     acc = ta.local(cb, cl, ax, tr)
@@ -677,13 +680,13 @@ def ring_first_hit_accel(
     state = (
         orig, dirn, alive,
         jnp.full((r,), INF),
-        jnp.zeros((r, 3)), jnp.zeros((r, 3)), jnp.zeros((r, 3)),
-        jnp.zeros((r,)),
+        jnp.zeros((r, 3)),
+        jnp.zeros((r,), jnp.int32),
         jnp.full((r,), -1, jnp.int32),
     )
 
     def hop(_, st):
-        o, d, a, t_b, n_b, em_b, al_b, sc_b, f_b = st
+        o, d, a, t_b, n_b, m_b, f_b = st
         fo = wide_shade_first_hit(acc, o, d, alive=a, interpret=interpret)
         upd = fo["t"] < t_b
         u1 = upd[:, None]
@@ -691,9 +694,7 @@ def ring_first_hit_accel(
             o, d, a,
             jnp.where(upd, fo["t"], t_b),
             jnp.where(u1, fo["normal"], n_b),
-            jnp.where(u1, fo["emission"], em_b),
-            jnp.where(u1, fo["albedo"], al_b),
-            jnp.where(upd, fo["scatter"], sc_b),
+            jnp.where(upd, fo["mat"], m_b),
             jnp.where(upd, fo["id"], f_b),
         )
         return jax.tree_util.tree_map(
@@ -701,8 +702,8 @@ def ring_first_hit_accel(
         )
 
     st = jax.lax.fori_loop(0, n_parts, hop, state)
-    _, _, _, t_b, n_b, em_b, al_b, sc_b, f_b = st
-    return t_b, n_b, em_b, al_b, sc_b, f_b
+    _, _, _, t_b, n_b, m_b, f_b = st
+    return t_b, n_b, m_b, f_b
 
 
 def ring_occlusion_t_accel(
@@ -1155,13 +1156,18 @@ def _render_treelet_accel(
     )
     def _run(o, d, ids, cb, cl, ax, tr):
         def override(o_, d_, alive):
+            from atray_tpu.render.wavefront import resolve_material_rows
+
             o_ = jax.lax.stop_gradient(o_)
             d_ = jax.lax.stop_gradient(d_)
-            t, nrm, em_r, al_r, sc_r, fid = ring_first_hit_accel(
+            t, nrm, mat, fid = ring_first_hit_accel(
                 ta, cb, cl, ax, tr, o_, d_,
                 alive.astype(jnp.float32), n_parts=n_dev,
                 axis_name=axis_name, interpret=interpret,
             )
+            # only the material ID rode the ring; constants resolve here
+            # from the replicated material table
+            em_r, al_r, sc_r = resolve_material_rows(lean, mat, fid >= 0)
             return t, nrm, em_r, al_r, sc_r, fid >= 0
 
         def occl(o_, d_, live):

@@ -352,14 +352,20 @@ def _lane_stream_kernel(
                     precision=jax.lax.Precision.HIGHEST,
                 )
 
-            def wquad(q, acc):
-                for k in range(4):
-                    acc = one(q * 4 + k, acc)
-                return acc
+            def wquad(q, accs):
+                # 4x unrolled with FOUR INDEPENDENT accumulators (same fix
+                # as _lane_route_kernel / probe_r18): a chain of dependent
+                # dots serializes on the ~1.3 us MXU result latency, which
+                # WAS the streaming kernel's ~30 ms occupancy-invariant
+                # flat cost (window-row visits are ~rows regardless of
+                # occupancy). Exact: one-hot routing gives every output
+                # lane exactly one nonzero contribution, so regrouping the
+                # partial sums only ever adds zeros.
+                return tuple(one(q * 4 + k, accs[k]) for k in range(4))
 
-            acc = jax.lax.fori_loop(
-                0, quads, wquad, jnp.zeros((c, LANE), jnp.float32),
-            )
+            z = jnp.zeros((c, LANE), jnp.float32)
+            accs = jax.lax.fori_loop(0, quads, wquad, (z, z, z, z))
+            acc = (accs[0] + accs[1]) + (accs[2] + accs[3])
 
             # ---- output slab bookkeeping --------------------------------
             os_ = j // s

@@ -2,15 +2,21 @@
 
 Identical traversal to kernels/wide_exact2.py (interleaved exact wide-BVH
 walk), but leaf records are the stride-32 SHADED layout of accel/shaded.py:
-at every candidate-triangle test the record's vertex normals and material
-constants are already in registers, so a winning hit updates not just
-(t, id) but the barycentrically interpolated shading normal and the
-emission/albedo/scatter constants — per ray, as pure vector selects.
+at every candidate-triangle test the record's vertex normals are already in
+registers, so a winning hit updates not just (t, id) but the barycentrically
+interpolated shading normal and the MATERIAL ID — per ray, as pure vector
+selects.
 
-Output planes per ray (f32): [t, id(bitcast), nx, ny, nz, em_r, em_g,
-em_b, al_r, al_g, al_b, scatter]. The renderer's fast path consumes these
-directly: the forward pass performs ZERO per-ray gathers (XLA row gathers
-measured ~250 M elem/s on v5e were the frame bottleneck).
+Output planes per ray (f32): [t, id(bitcast), nx, ny, nz, mat]. The
+renderer's fast path consumes these directly: the forward pass performs
+ZERO per-ray gathers (XLA row gathers measured ~250 M elem/s on v5e were
+the frame bottleneck). Material CONSTANTS (emission/albedo/scatter) are
+resolved OUTSIDE the kernel from the material id with a select chain over
+the (tiny) material table — round 4 measured the in-kernel per-candidate
+material selects + broadcasts at ~20% of the leaf phase, and leaves
+dominate incoherent bounces. The interpolated normal is likewise stored
+UNNORMALIZED per candidate and normalized once per block at write-out
+(same ops on the same winning values — bit-identical, amortized).
 
 Gradients: ``wavefront.make_fused_hit_shade`` wraps this in a
 ``jax.custom_vjp`` whose backward replays the differentiable resolve from
@@ -33,7 +39,7 @@ from atray_tpu.kernels.traverse_pallas import BLOCK_LANE
 _INF = 3.0e38
 _T_MIN = 1.0e-4
 STACK_CAP = 192
-NOUT = 12
+NOUT = 6
 
 
 def _wide_shade_kernel(
@@ -170,13 +176,7 @@ def _wide_shade_kernel(
                 nx_b = oblk_ref[2, lo : lo + S]
                 ny_b = oblk_ref[3, lo : lo + S]
                 nz_b = oblk_ref[4, lo : lo + S]
-                emr_b = oblk_ref[5, lo : lo + S]
-                emg_b = oblk_ref[6, lo : lo + S]
-                emb_b = oblk_ref[7, lo : lo + S]
-                alr_b = oblk_ref[8, lo : lo + S]
-                alg_b = oblk_ref[9, lo : lo + S]
-                alb_b = oblk_ref[10, lo : lo + S]
-                sc_b = oblk_ref[11, lo : lo + S]
+                mat_b = oblk_ref[5, lo : lo + S]
                 rows = tris_ref[pl.ds(leaf_row, rows_per_leaf), :]
                 for kk in range(leaf_size):
                     rr = kk // RECS_PER_ROW
@@ -219,7 +219,11 @@ def _wide_shade_kernel(
                     )
                     if mask is not None:
                         hit = hit & mask
-                    # interpolated shading normal of this candidate
+                    # interpolated shading normal of this candidate,
+                    # stored UNNORMALIZED: the winner is normalized once
+                    # per block at write-out (identical ops on identical
+                    # values -> bit-identical, but paid per block instead
+                    # of per candidate)
                     w0 = 1.0 - uu - vv
                     n0x = bc(rec[:, 10:11], onesf)
                     n0y = bc(rec[:, 11:12], onesf)
@@ -233,36 +237,18 @@ def _wide_shade_kernel(
                     nx = w0 * n0x + uu * n1x + vv * n2x
                     ny = w0 * n0y + uu * n1y + vv * n2y
                     nz = w0 * n0z + uu * n1z + vv * n2z
-                    rlen = jax.lax.rsqrt(
-                        jnp.maximum(nx * nx + ny * ny + nz * nz, 1.0e-20)
-                    )
-                    nx = nx * rlen
-                    ny = ny * rlen
-                    nz = nz * rlen
                     t_b = jnp.where(hit, tt, t_b)
                     id_b = jnp.where(hit, fid, id_b)
                     nx_b = jnp.where(hit, nx, nx_b)
                     ny_b = jnp.where(hit, ny, ny_b)
                     nz_b = jnp.where(hit, nz, nz_b)
-                    emr_b = jnp.where(hit, bc(rec[:, 20:21], onesf), emr_b)
-                    emg_b = jnp.where(hit, bc(rec[:, 21:22], onesf), emg_b)
-                    emb_b = jnp.where(hit, bc(rec[:, 22:23], onesf), emb_b)
-                    alr_b = jnp.where(hit, bc(rec[:, 23:24], onesf), alr_b)
-                    alg_b = jnp.where(hit, bc(rec[:, 24:25], onesf), alg_b)
-                    alb_b = jnp.where(hit, bc(rec[:, 25:26], onesf), alb_b)
-                    sc_b = jnp.where(hit, bc(rec[:, 26:27], onesf), sc_b)
+                    mat_b = jnp.where(hit, bc(rec[:, 19:20], onesf), mat_b)
                 oblk_ref[0, lo : lo + S] = t_b
                 oblk_ref[1, lo : lo + S] = pltpu.bitcast(id_b, jnp.float32)
                 oblk_ref[2, lo : lo + S] = nx_b
                 oblk_ref[3, lo : lo + S] = ny_b
                 oblk_ref[4, lo : lo + S] = nz_b
-                oblk_ref[5, lo : lo + S] = emr_b
-                oblk_ref[6, lo : lo + S] = emg_b
-                oblk_ref[7, lo : lo + S] = emb_b
-                oblk_ref[8, lo : lo + S] = alr_b
-                oblk_ref[9, lo : lo + S] = alg_b
-                oblk_ref[10, lo : lo + S] = alb_b
-                oblk_ref[11, lo : lo + S] = sc_b
+                oblk_ref[5, lo : lo + S] = mat_b
 
             return raymask, leaf_phase
 
@@ -278,6 +264,7 @@ def _wide_shade_kernel(
             scalar ordering costs more than its pruning saves (measured
             -15%, docs/KERNELS.md)."""
             sp = sp_popped
+            _spill = stacks_ref.shape[1] - 1   # garbage slot, never popped
             # desc in {0,1}: 7-cc == cc ^ 7 for 3-bit cc
             d7 = 0 if desc is None else desc * 7
             for cc in range(8):
@@ -287,15 +274,24 @@ def _wide_shade_kernel(
                 is_node = hit_c & (link >= 0)
                 is_leaf = hit_c & (link < 0) & (link > -2147483647)
 
-                @pl.when(is_node)
-                def _(sp_=sp, link=link, half=half):
-                    stacks_ref[half, sp_] = link
+                # BRANCHLESS push (round 4): the store happens
+                # UNCONDITIONALLY; a non-push is redirected to a dedicated
+                # SPILL slot (top of the allocated slack) by a scalar
+                # select on the ADDRESS. Replaces a scalar branch per
+                # child (8 per node — the walk is scalar-latency bound,
+                # docs/KERNELS.md lesson 7). An sp-targeted store is NOT
+                # safe to leave ungated: the multi-pop batch path calls
+                # scalar_phase with live=False for shallow stacks and a
+                # garbage store at its base would clobber LIVE entries
+                # pushed by earlier batches of the same iteration.
+                idx = jnp.where(is_node, sp, _spill)
+                stacks_ref[half, idx] = link
+                sp = sp + is_node.astype(jnp.int32)
 
                 @pl.when(is_leaf)
                 def _(link=link, leaf_fn=leaf_fn):
                     leaf_fn(-(link + 1))
 
-                sp = sp + is_node.astype(jnp.int32)
             return sp
 
         def run_pass(masks, live_scalars=None):
@@ -452,6 +448,19 @@ def _wide_shade_kernel(
 
             jax.lax.fori_loop(0, 8, opass, 0)
 
+        # normalize the winning interpolated normal ONCE per block (the
+        # leaf phase stores it unnormalized); miss/dead lanes hold zeros,
+        # which stay zeros (0 * rsqrt(1e-20) == 0)
+        nx = oblk_ref[2]
+        ny = oblk_ref[3]
+        nz = oblk_ref[4]
+        rlen = jax.lax.rsqrt(
+            jnp.maximum(nx * nx + ny * ny + nz * nz, 1.0e-20)
+        )
+        oblk_ref[2] = nx * rlen
+        oblk_ref[3] = ny * rlen
+        oblk_ref[4] = nz * rlen
+
         # dead lanes traversed nothing (best_t was -INF); restore their
         # +INF miss sentinel so consumers see the documented contract
         oblk_ref[0] = jnp.where(rblk_ref[6] > 0.0, oblk_ref[0], inf)
@@ -488,10 +497,12 @@ def wide_shade_first_hit(
 ):
     """Fused nearest-hit + shading data.
 
-    Returns dict(t, id, normal (R,3), emission (R,3), albedo (R,3),
-    scatter (R,)); miss = (INF, -1, zeros...). Pads by replicating the
-    last ray. ``alive`` (R,) bool marks live paths: blocks whose lanes are
-    all dead skip traversal entirely (their outputs are miss sentinels).
+    Returns dict(t, id, normal (R,3), mat (R,) i32); miss = (INF, -1,
+    zeros, 0). Material constants resolve OUTSIDE from ``mat`` with a
+    select chain over the material table (see module docstring). Pads by
+    replicating the last ray. ``alive`` (R,) bool marks live paths: blocks
+    whose lanes are all dead skip traversal entirely (their outputs are
+    miss sentinels).
     ``octant_split=True`` traverses each block in 8 direction-octant masked
     passes (measured slower on real bounce rays — kept as a lineage knob).
     ``multi_pop=K`` expands K stack nodes per vector→scalar sync — the sync
@@ -565,16 +576,17 @@ def wide_shade_first_hit(
         ]
     )
 
-    stack_cap = max(STACK_CAP, 8 * (swbvh.max_depth + 2))
+    # +8 slack: the branchless push writes one garbage slot above the top
+    stack_cap = max(STACK_CAP, 8 * (swbvh.max_depth + 2)) + 8
     if multi_pop > 1:
         # batch expansion breaks the DFS depth bound; the hard bound is
         # "every interior node on the stack at once". Cap SMEM use at
         # ~0.5 MiB across the n_inter stacks; larger accels fall back to
         # K=1.
-        if swbvh.num_nodes + 8 > 131072 // n_inter:
+        if swbvh.num_nodes + 16 > 131072 // n_inter:
             multi_pop = 1
         else:
-            stack_cap = max(stack_cap, swbvh.num_nodes + 8)
+            stack_cap = max(stack_cap, swbvh.num_nodes + 16)
     out = pl.pallas_call(
         functools.partial(
             _wide_shade_kernel,
@@ -622,7 +634,6 @@ def wide_shade_first_hit(
         "t": flat(0),
         "id": jax.lax.bitcast_convert_type(out[1], jnp.int32).reshape(-1)[:n],
         "normal": jnp.stack([flat(2), flat(3), flat(4)], axis=1),
-        "emission": jnp.stack([flat(5), flat(6), flat(7)], axis=1),
-        "albedo": jnp.stack([flat(8), flat(9), flat(10)], axis=1),
-        "scatter": flat(11),
+        # material ids are small ints stored exactly in f32
+        "mat": flat(5).astype(jnp.int32),
     }

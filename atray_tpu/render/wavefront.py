@@ -287,6 +287,45 @@ def resolve_hit(
     return t, normal, jnp.where(hit, mat, 0), hit
 
 
+def onehot_rows(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free row pickup for SMALL tables (material constants).
+
+    k <= 16: a chain of per-row selects — pure elementwise, fuses into the
+    surrounding shade arithmetic. Do NOT use a one-hot matmul here: XLA
+    materializes the (R, k) one-hot pred as a convolution operand in a
+    scalar-looped bool tiling that runs at ~50 MB/s — measured 249 ms of a
+    340 ms single-bounce 1080p frame (scripts/probe_r10.py HLO trace,
+    v5e). Larger tables (none in production scenes today) keep the matmul,
+    which beats a k-deep select chain once k is big.
+    """
+    k = table.shape[0]
+    if k <= 16:
+        out = jnp.broadcast_to(
+            table[0], idx.shape + table.shape[1:]
+        ).astype(table.dtype)
+        for j in range(1, k):
+            pick = idx == j
+            if table.ndim > 1:
+                pick = pick[:, None]
+            out = jnp.where(pick, table[j], out)
+        return out
+    oh = (idx[:, None] == jnp.arange(k)[None, :]).astype(table.dtype)
+    return oh @ table
+
+
+def resolve_material_rows(scene, mat: jnp.ndarray, hit: jnp.ndarray):
+    """(emission, albedo, scatter) rows for per-ray material ids, with
+    miss lanes zeroed (the fused kernel's miss sentinel is mat = 0, which
+    would otherwise pick up the skybox row)."""
+    h1 = hit[:, None]
+    em = jnp.where(h1, onehot_rows(mat, scene.materials.emission), 0.0)
+    al = jnp.where(h1, onehot_rows(mat, scene.materials.albedo), 0.0)
+    sc = jnp.where(
+        hit, onehot_rows(mat, scene.materials.scatter[:, None])[:, 0], 0.0
+    )
+    return em, al, sc
+
+
 def make_fused_hit_shade(
     accel, interpret: bool, octant_split: bool = False, multi_pop: int = 1
 ) -> Callable:
@@ -321,10 +360,13 @@ def make_fused_hit_shade(
             octant_split=octant_split,
             multi_pop=multi_pop,
         )
-        return (
-            fo["t"], fo["normal"], fo["emission"], fo["albedo"],
-            fo["scatter"], fo["id"],
+        # material constants resolve here (cheap select chain over the
+        # tiny material table) instead of per candidate inside the kernel
+        # — round 4 cut the leaf phase ~20% by returning only the id
+        em_ray, al_ray, sc_ray = resolve_material_rows(
+            scene, fo["mat"], fo["id"] >= 0
         )
+        return fo["t"], fo["normal"], em_ray, al_ray, sc_ray, fo["id"]
 
     def fwd(scene, o, d, alive_f):
         out = fused(scene, o, d, alive_f)
@@ -397,23 +439,55 @@ def _bounce_dir(
     )
 
 
+def _mix32(x: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 fmix32: a full-avalanche 32-bit finalizer (5 ops)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
 def ray_uniforms(
     key: jax.Array, ray_ids: jnp.ndarray, bounce, channels: int = 3
 ) -> jnp.ndarray:
     """(R, channels) uniforms in [-1, 1] — a pure function of
     (key, global ray id, bounce).
 
-    One counter-based threefry stream per (ray, bounce): layout-invariant
-    under sharding, chunking, and compaction permutations (the id travels
-    with the ray). This replaces the reference's per-thread ``rdtsc * tid``
+    One counter-based stream per (ray, bounce): layout-invariant under
+    sharding, chunking, and compaction permutations (the id travels with
+    the ray). This replaces the reference's per-thread ``rdtsc * tid``
     PCG seeding (pl_utils_win32.cpp:10-15) with something a distributed
     run can reproduce bit-exactly on any mesh shape.
+
+    The stream is a chain of murmur3 fmix32 finalizers over
+    (key, id, bounce, channel) — the same stateless counter-hash family
+    as the reference's PCG (PL_math.h:492-541), ~15 VPU ops per ray.
+    The previous threefry implementation (vmapped ``jax.random.fold_in``)
+    profiled at 63 ms per 4.15M rays per bounce on v5e — 1.26 s of a
+    6.6 s frame pass; this hash measures <3 ms at identical
+    reproducibility contract (round-4 profile, /tmp scripts/probe_r29
+    lineage; see docs/KERNELS.md round 4).
     """
-    kb = jax.random.fold_in(key, bounce)
-    keys = jax.vmap(jax.random.fold_in, (None, 0))(kb, ray_ids)
-    return jax.vmap(
-        lambda k: jax.random.uniform(k, (channels,), jnp.float32, -1.0, 1.0)
-    )(keys)
+    kd = jnp.asarray(key).reshape(-1)
+    if kd.dtype != jnp.uint32:
+        kd = jax.random.key_data(key).reshape(-1)
+    s0 = kd[0].astype(jnp.uint32)
+    s1 = kd[-1].astype(jnp.uint32)
+    gid = ray_ids.astype(jnp.uint32)
+    b = jnp.asarray(bounce).astype(jnp.uint32)
+    base = _mix32(gid ^ s0)
+    hb = _mix32(base + b * jnp.uint32(0x9E3779B9) + s1)
+    cols = []
+    for c in range(channels):
+        hc = _mix32(hb + jnp.uint32((c + 1) * 0x85EBCA77 & 0xFFFFFFFF))
+        # top 24 bits -> [0, 1) at f32 resolution -> [-1, 1)
+        u = (hc >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+            1.0 / 16777216.0
+        )
+        cols.append(u * 2.0 - 1.0)
+    return jnp.stack(cols, axis=1)
 
 
 def draw_bounce_uniforms(
@@ -511,6 +585,21 @@ def _lane_pack_state(state):
 
     return (o2, d2, w2, c2, alive2, gid2, rc), lane_restore
 
+
+import os as _os
+
+# Round-4 schedule knobs (probe-able via env, defaults = measured-best).
+# ATRAY_OCT_REGROUP: per-ray octant regroup before the first diffuse
+# bounce. probe_r28 (TRUE b1 state, plane sign fixed): the nb=64 regroup
+# routing costs 186 ms/4.15M-chunk + a 3-plane restore while the walk
+# saving is ~40 ms — a NET LOSS; probe_r26's +22% was measured on a
+# replica with the r3-documented plane-sign bug (half the live rays).
+_OCT_REGROUP = _os.environ.get("ATRAY_OCT_REGROUP", "0") == "1"
+# ATRAY_REPACK_SCAN: per-bounce lane repacking of the post-compaction
+# scan. The repack machinery (2 lane_scatter calls + cumsum dst maps per
+# bounce per chunk) costs more than the late-bounce walks it accelerates
+# once the walk itself is fast (probe_r29) — default one-shot pack only.
+_REPACK_SCAN = _os.environ.get("ATRAY_REPACK_SCAN", "0") == "1"
 
 _NB_ROWS = 64                    # octant-regroup neighborhood (64 rows)
 
@@ -764,30 +853,8 @@ def trace_radiance(
             )
         return _fused_cache[k]
 
-    def _onehot_rows(idx, table):
-        """Gather-free row pickup for SMALL tables.
-
-        k <= 16: a chain of per-row selects — pure elementwise, fuses into
-        the surrounding shade arithmetic. Do NOT use a one-hot matmul
-        here: XLA materializes the (R, k) one-hot pred as a convolution
-        operand in a scalar-looped bool tiling that runs at ~50 MB/s —
-        measured 249 ms of a 340 ms single-bounce 1080p frame
-        (scripts/probe_r10.py HLO trace, v5e). Larger tables (none in
-        production scenes today) keep the matmul, which beats a k-deep
-        select chain once k is big."""
-        k = table.shape[0]
-        if k <= 16:
-            out = jnp.broadcast_to(
-                table[0], idx.shape + table.shape[1:]
-            ).astype(table.dtype)
-            for j in range(1, k):
-                pick = idx == j
-                if table.ndim > 1:
-                    pick = pick[:, None]
-                out = jnp.where(pick, table[j], out)
-            return out
-        oh = (idx[:, None] == jnp.arange(k)[None, :]).astype(table.dtype)
-        return oh @ table
+    _onehot_rows = onehot_rows   # module-level helper (shared with the
+    #                              fused material resolve and treelet ring)
 
     def _hit_inputs(o, d, alive, accel_, split=False, mp=1):
         """(t, n, hit, em_ray, al_ray, sc_ray, aux) for the nearest hit.
@@ -1311,9 +1378,11 @@ def trace_radiance(
         # config, so Mosaic compiles ONE traversal kernel for the frame
         state = bounce_step(state, 0, primary_accel, mp=bounce_mp)
         start = 1
-    if sort_rays and lane_route_ok and bounce_limit > start:
-        # direction-octant regroup before the first diffuse bounce
-        # (probe_r26: +22% on the REAL b1 state; see _octant_regroup)
+    if sort_rays and lane_route_ok and bounce_limit > start and _OCT_REGROUP:
+        # direction-octant regroup before the first diffuse bounce.
+        # OFF by default since round 4: the regroup ROUTING costs more
+        # than the walk saving on the true b1 state (probe_r28; see
+        # _OCT_REGROUP above).
         state, oct_restore = _octant_regroup(state)
     if sort_rays and bounce_limit > start + 1:
         # Run the first diffuse bounce at full wavefront, then compact
@@ -1336,7 +1405,7 @@ def trace_radiance(
     else:
         restore = None
     if bounce_limit > start:
-        if restore is not None and lane_route_ok:
+        if restore is not None and lane_route_ok and _REPACK_SCAN:
             state = repack_scan(state, start)
         else:
             state, _ = jax.lax.scan(

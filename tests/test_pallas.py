@@ -286,7 +286,7 @@ def test_wide_shade_multipop_matches_single():
     f4 = wide_shade_first_hit(
         accel, orig, dirn, alive=alive, interpret=True, multi_pop=4
     )
-    for k in ("t", "id", "normal", "emission", "albedo", "scatter"):
+    for k in ("t", "id", "normal", "mat"):
         np.testing.assert_array_equal(np.asarray(f1[k]), np.asarray(f4[k]))
     hits = int(np.sum(np.asarray(f1["id"]) >= 0))
     assert hits > 50
