@@ -518,32 +518,71 @@ def wide_shade_first_hit(
     incoherent blocks whose lanes disagree on sign (the per-node scalar
     order math measured -15% there; ordering pays on coherent blocks).
     """
-    n = orig.shape[0]
-    block = block_sub * BLOCK_LANE
-    pad = (-n) % (n_inter * block)
     if alive is None:
-        alive_f = jnp.ones((n,), jnp.float32)
+        alive_f = jnp.ones((orig.shape[0],), jnp.float32)
     else:
         alive_f = alive.astype(jnp.float32)
+    fo = wide_shade_planes(
+        swbvh,
+        orig[:, 0], orig[:, 1], orig[:, 2],
+        dirn[:, 0], dirn[:, 1], dirn[:, 2],
+        alive_f,
+        interpret=interpret, block_sub=block_sub,
+        octant_split=octant_split, multi_pop=multi_pop, n_inter=n_inter,
+        ordered=ordered,
+    )
+    return {
+        "t": fo["t"],
+        "id": fo["id"],
+        "normal": jnp.stack([fo["nx"], fo["ny"], fo["nz"]], axis=1),
+        "mat": fo["mat"],
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "interpret", "block_sub", "octant_split", "multi_pop", "n_inter",
+        "ordered",
+    ),
+)
+def wide_shade_planes(
+    swbvh: ShadedWideBVH,
+    ox: jnp.ndarray, oy: jnp.ndarray, oz: jnp.ndarray,
+    dx: jnp.ndarray, dy: jnp.ndarray, dz: jnp.ndarray,
+    alive_f: jnp.ndarray,
+    interpret: bool = False,
+    block_sub: int = 8,
+    octant_split: bool = False,
+    multi_pop: int = 1,
+    n_inter: int = 2,
+    ordered: bool = True,
+):
+    """SoA entry: flat (R,) ray components in, flat (R,) planes out as
+    dict(t, id (i32), nx, ny, nz, mat (i32)). Never builds an (R, 3)
+    array — the production wavefront (round 4) keeps ALL per-ray state in
+    flat plane-major arrays: minor-dim-3 AoS intermediates at the kernel
+    boundary forced materialized mixed-layout relayouts that profiled at
+    60+ ms per kernel call per chunk on v5e."""
+    n = ox.shape[0]
+    block = block_sub * BLOCK_LANE
+    pad = (-n) % (n_inter * block)
+    comps = [ox, oy, oz, dx, dy, dz]
     if pad:
-        orig = jnp.concatenate([orig, jnp.tile(orig[-1:], (pad, 1))], axis=0)
-        dirn = jnp.concatenate([dirn, jnp.tile(dirn[-1:], (pad, 1))], axis=0)
-        # pad lanes are dead: a trailing all-pad block skips traversal
+        # pad lanes replicate the last ray but are DEAD: a trailing
+        # all-pad block skips traversal via the alive plane
+        comps = [
+            jnp.concatenate([c, jnp.broadcast_to(c[-1:], (pad,))])
+            for c in comps
+        ]
         alive_f = jnp.concatenate([alive_f, jnp.zeros((pad,), jnp.float32)])
-    total = orig.shape[0]
+    total = n + pad
     rows = total // BLOCK_LANE
     num_pairs = total // (n_inter * block)
 
     rays = jnp.stack(
-        [
-            orig[:, 0].reshape(rows, BLOCK_LANE),
-            orig[:, 1].reshape(rows, BLOCK_LANE),
-            orig[:, 2].reshape(rows, BLOCK_LANE),
-            dirn[:, 0].reshape(rows, BLOCK_LANE),
-            dirn[:, 1].reshape(rows, BLOCK_LANE),
-            dirn[:, 2].reshape(rows, BLOCK_LANE),
-            alive_f.reshape(rows, BLOCK_LANE),
-        ]
+        [c.reshape(rows, BLOCK_LANE) for c in comps]
+        + [alive_f.reshape(rows, BLOCK_LANE)]
     )
 
     # accels built before ordered traversal carry no child sort axis;
@@ -562,10 +601,16 @@ def wide_shade_first_hit(
     halves = rows // block_sub
     al_h = alive_f.reshape(halves, block_sub * BLOCK_LANE)
     live_h = (jnp.max(al_h, axis=1) > 0.0).astype(jnp.int32)
-    d_h = dirn.reshape(halves, block_sub * BLOCK_LANE, 3)
-    s_h = jnp.sum(jnp.where(al_h[..., None] > 0.0, d_h, 0.0), axis=1)
-    sg = (s_h > 0.0).astype(jnp.int32)
-    flags = sg[:, 0] | (sg[:, 1] << 1) | (sg[:, 2] << 2) | (live_h << 3)
+
+    def _sgn(c):
+        ch = c.reshape(halves, block_sub * BLOCK_LANE)
+        s = jnp.sum(jnp.where(al_h > 0.0, ch, 0.0), axis=1)
+        return (s > 0.0).astype(jnp.int32)
+
+    flags = (
+        _sgn(comps[3]) | (_sgn(comps[4]) << 1) | (_sgn(comps[5]) << 2)
+        | (live_h << 3)
+    )
 
     neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
     sentinel = jnp.concatenate(
@@ -633,7 +678,9 @@ def wide_shade_first_hit(
     return {
         "t": flat(0),
         "id": jax.lax.bitcast_convert_type(out[1], jnp.int32).reshape(-1)[:n],
-        "normal": jnp.stack([flat(2), flat(3), flat(4)], axis=1),
+        "nx": flat(2),
+        "ny": flat(3),
+        "nz": flat(4),
         # material ids are small ints stored exactly in f32
         "mat": flat(5).astype(jnp.int32),
     }

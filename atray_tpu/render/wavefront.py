@@ -287,6 +287,123 @@ def resolve_hit(
     return t, normal, jnp.where(hit, mat, 0), hit
 
 
+# ---------------------------------------------------------------------------
+# SoA (plane-major) vector helpers — round 4.
+#
+# The wavefront hot loop keeps EVERY per-ray quantity as a flat (R,) f32
+# array. (R, 3) AoS arrays in the bounce loop forced XLA to materialize
+# mixed-layout intermediates at the Pallas kernel boundary ((R,1)
+# {1,0:T(8,128)} buffers at 0.8% tile efficiency and iota-driven relayout
+# fusions at ~62 ms each, 2-3 per kernel call per chunk — round-4 device
+# profile). Components fuse cleanly; (R, 3) exists only at the public API
+# edges (camera rays in, film out, hit_override adapters).
+# ---------------------------------------------------------------------------
+
+
+def _norm3(x, y, z, eps: float = 1.0e-20):
+    """Component normalize matching core.intersect.normalize's op order."""
+    r = jnp.reciprocal(jnp.sqrt(jnp.maximum(x * x + y * y + z * z, eps)))
+    return x * r, y * r, z * r
+
+
+def _bounce_dir_soa(dx, dy, dz, nx, ny, nz, scatter, u0, u1, u2):
+    """SoA twin of ``_bounce_dir`` (identical math per component)."""
+    rx, ry, rz = _norm3(nx + u0, ny + u1, nz + u2)
+    dn = dx * nx + dy * ny + dz * nz
+    px = dx - 2.0 * dn * nx
+    py = dy - 2.0 * dn * ny
+    pz = dz - 2.0 * dn * nz
+    return _norm3(
+        rx + (px - rx) * scatter,
+        ry + (py - ry) * scatter,
+        rz + (pz - rz) * scatter,
+    )
+
+
+def _ray_uniform_cols(key, ray_ids, bounce, channels: int = 3):
+    """``ray_uniforms`` returning a TUPLE of flat (R,) columns (the SoA hot
+    path consumes columns; stacking to (R, channels) happens only in the
+    exported ``ray_uniforms``)."""
+    kd = jnp.asarray(key).reshape(-1)
+    if kd.dtype != jnp.uint32:
+        kd = jax.random.key_data(key).reshape(-1)
+    s0 = kd[0].astype(jnp.uint32)
+    s1 = kd[-1].astype(jnp.uint32)
+    gid = ray_ids.astype(jnp.uint32)
+    b = jnp.asarray(bounce).astype(jnp.uint32)
+    base = _mix32(gid ^ s0)
+    hb = _mix32(base + b * jnp.uint32(0x9E3779B9) + s1)
+    cols = []
+    for c in range(channels):
+        hc = _mix32(hb + jnp.uint32((c + 1) * 0x85EBCA77 & 0xFFFFFFFF))
+        u = (hc >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+            1.0 / 16777216.0
+        )
+        cols.append(u * 2.0 - 1.0)
+    return tuple(cols)
+
+
+def _sphere_hits_soa(ox, oy, oz, dx, dy, dz, centers, radii):
+    """Nearest sphere per ray, SoA: static unrolled loop over the (tiny)
+    sphere table. Returns (t, sid) with t = INF / sid = -1 on miss.
+    Same math as core.intersect.sphere_hits (sphere.h:12-39)."""
+    n = ox.shape[0]
+    best_t = jnp.full((n,), INF)
+    best_id = jnp.full((n,), -1, jnp.int32)
+    for p in range(centers.shape[0]):
+        ocx = ox - centers[p, 0]
+        ocy = oy - centers[p, 1]
+        ocz = oz - centers[p, 2]
+        b = ocx * dx + ocy * dy + ocz * dz
+        csq = ocx * ocx + ocy * ocy + ocz * ocz - radii[p] * radii[p]
+        disc = b * b - csq
+        pos = disc > 0.0
+        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+        t0 = -b - sq
+        t1 = -b + sq
+        ts = jnp.where(t0 > 1.0e-4, t0, jnp.where(t1 > 1.0e-4, t1, INF))
+        ts = jnp.where(pos, ts, INF)
+        closer = ts < best_t
+        best_t = jnp.where(closer, ts, best_t)
+        best_id = jnp.where(closer, p, best_id)
+    return best_t, best_id
+
+
+def _plane_hits_soa(ox, oy, oz, dx, dy, dz, normals, offsets):
+    """Nearest plane per ray, SoA: static unrolled loop over the (tiny)
+    plane table. Returns (t, pid). Same math as core.intersect.plane_hits
+    (plane.h:12-22): plane is dot(n, x) = offset."""
+    n = ox.shape[0]
+    best_t = jnp.full((n,), INF)
+    best_id = jnp.full((n,), -1, jnp.int32)
+    for p in range(normals.shape[0]):
+        denom = dx * normals[p, 0] + dy * normals[p, 1] + dz * normals[p, 2]
+        num = offsets[p] - (
+            ox * normals[p, 0] + oy * normals[p, 1] + oz * normals[p, 2]
+        )
+        ok = jnp.abs(denom) > 1.0e-12
+        tp = num / jnp.where(ok, denom, 1.0)
+        tp = jnp.where(ok & (tp > 1.0e-4), tp, INF)
+        closer = tp < best_t
+        best_t = jnp.where(closer, tp, best_t)
+        best_id = jnp.where(closer, p, best_id)
+    return best_t, best_id
+
+
+def resolve_material_comps(scene, mat: jnp.ndarray, hit: jnp.ndarray):
+    """SoA material resolve: 7 flat (R,) planes
+    (em_r, em_g, em_b, al_r, al_g, al_b, scatter) for per-ray material
+    ids via select chains over the tiny material table; miss lanes 0."""
+    em = scene.materials.emission
+    al = scene.materials.albedo
+    sc = scene.materials.scatter
+    out = []
+    for tab in (em[:, 0], em[:, 1], em[:, 2], al[:, 0], al[:, 1], al[:, 2],
+                sc):
+        out.append(jnp.where(hit, onehot_rows(mat, tab), 0.0))
+    return tuple(out)
+
+
 def onehot_rows(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     """Gather-free row pickup for SMALL tables (material constants).
 
@@ -344,18 +461,19 @@ def make_fused_hit_shade(
     use the unshaded WideBVH path (ids + differentiable resolve) or rebuild
     the shaded accel per step.
 
-    Returns fused(scene, orig, dirn) ->
-        (t, normal, emission, albedo, scatter, face_id).
+    Returns fused(scene, ox, oy, oz, dx, dy, dz, alive_f) ->
+        (t, nx, ny, nz, em_r, em_g, em_b, al_r, al_g, al_b, scatter,
+         face_id) — all flat (R,) planes (SoA; see the plane-major note
+    at the top of this module).
     """
-    from atray_tpu.kernels.wide_shade import wide_shade_first_hit
+    from atray_tpu.kernels.wide_shade import wide_shade_planes
 
     @jax.custom_vjp
-    def fused(scene, o, d, alive_f):
-        fo = wide_shade_first_hit(
+    def fused(scene, ox, oy, oz, dx, dy, dz, alive_f):
+        sg = jax.lax.stop_gradient
+        fo = wide_shade_planes(
             accel,
-            jax.lax.stop_gradient(o),
-            jax.lax.stop_gradient(d),
-            alive=jax.lax.stop_gradient(alive_f),
+            sg(ox), sg(oy), sg(oz), sg(dx), sg(dy), sg(dz), sg(alive_f),
             interpret=interpret,
             octant_split=octant_split,
             multi_pop=multi_pop,
@@ -363,22 +481,23 @@ def make_fused_hit_shade(
         # material constants resolve here (cheap select chain over the
         # tiny material table) instead of per candidate inside the kernel
         # — round 4 cut the leaf phase ~20% by returning only the id
-        em_ray, al_ray, sc_ray = resolve_material_rows(
-            scene, fo["mat"], fo["id"] >= 0
-        )
-        return fo["t"], fo["normal"], em_ray, al_ray, sc_ray, fo["id"]
+        hit = fo["id"] >= 0
+        mats = resolve_material_comps(scene, fo["mat"], hit)
+        return (fo["t"], fo["nx"], fo["ny"], fo["nz"], *mats, fo["id"])
 
-    def fwd(scene, o, d, alive_f):
-        out = fused(scene, o, d, alive_f)
-        return out, (scene, o, d, alive_f, out[5])
+    def fwd(scene, ox, oy, oz, dx, dy, dz, alive_f):
+        out = fused(scene, ox, oy, oz, dx, dy, dz, alive_f)
+        return out, (scene, ox, oy, oz, dx, dy, dz, alive_f, out[-1])
 
     def bwd(res, cts):
-        scene, o, d, alive_f, fid = res
-        ct_t, ct_n, ct_em, ct_al, ct_sc, _ = cts
+        scene, ox, oy, oz, dx, dy, dz, alive_f, fid = res
+        (ct_t, ct_nx, ct_ny, ct_nz, ct_emr, ct_emg, ct_emb,
+         ct_alr, ct_alg, ct_alb, ct_sc, _ct_fid) = cts
         hit = fid >= 0
         nf = scene.mesh.num_faces
 
         def replay(scene_, o_, d_):
+            # (R, 3) math is fine HERE: the replay exists only under grad
             ft = build_face_table(scene_)
             row = ft[jnp.clip(fid, 0, nf - 1)]
             tt, u, vv, _ = moller_trumbore(
@@ -407,13 +526,19 @@ def make_fused_hit_shade(
         h1 = hit[:, None]
         cot = (
             jnp.where(hit, ct_t, 0.0),
-            jnp.where(h1, ct_n, 0.0),
-            jnp.where(h1, ct_em, 0.0),
-            jnp.where(h1, ct_al, 0.0),
+            jnp.where(h1, jnp.stack([ct_nx, ct_ny, ct_nz], axis=1), 0.0),
+            jnp.where(h1, jnp.stack([ct_emr, ct_emg, ct_emb], axis=1), 0.0),
+            jnp.where(h1, jnp.stack([ct_alr, ct_alg, ct_alb], axis=1), 0.0),
             jnp.where(hit, ct_sc, 0.0),
         )
-        _, vjp_fn = jax.vjp(replay, scene, o, d)
-        return (*vjp_fn(cot), jnp.zeros_like(alive_f))
+        o3 = jnp.stack([ox, oy, oz], axis=1)
+        d3 = jnp.stack([dx, dy, dz], axis=1)
+        _, vjp_fn = jax.vjp(replay, scene, o3, d3)
+        g_scene, g_o, g_d = vjp_fn(cot)
+        return (
+            g_scene, g_o[:, 0], g_o[:, 1], g_o[:, 2],
+            g_d[:, 0], g_d[:, 1], g_d[:, 2], jnp.zeros_like(alive_f),
+        )
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -470,24 +595,9 @@ def ray_uniforms(
     reproducibility contract (round-4 profile, /tmp scripts/probe_r29
     lineage; see docs/KERNELS.md round 4).
     """
-    kd = jnp.asarray(key).reshape(-1)
-    if kd.dtype != jnp.uint32:
-        kd = jax.random.key_data(key).reshape(-1)
-    s0 = kd[0].astype(jnp.uint32)
-    s1 = kd[-1].astype(jnp.uint32)
-    gid = ray_ids.astype(jnp.uint32)
-    b = jnp.asarray(bounce).astype(jnp.uint32)
-    base = _mix32(gid ^ s0)
-    hb = _mix32(base + b * jnp.uint32(0x9E3779B9) + s1)
-    cols = []
-    for c in range(channels):
-        hc = _mix32(hb + jnp.uint32((c + 1) * 0x85EBCA77 & 0xFFFFFFFF))
-        # top 24 bits -> [0, 1) at f32 resolution -> [-1, 1)
-        u = (hc >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
-            1.0 / 16777216.0
-        )
-        cols.append(u * 2.0 - 1.0)
-    return jnp.stack(cols, axis=1)
+    return jnp.stack(
+        _ray_uniform_cols(key, ray_ids, bounce, channels), axis=1
+    )
 
 
 def draw_bounce_uniforms(
@@ -523,20 +633,23 @@ _LANE_OCC_MARGIN = 0.02          # identity fallback below this
 
 def _lane_pack_state(state):
     """Per-ray stable live-ray packing of the wavefront state via the
-    banded one-hot-matmul kernel (kernels/lane_pack.py). Returns
-    ``(packed_state, lane_restore)`` with ``lane_restore(color)`` routing
-    per-ray results back to the pre-pack layout. Differentiable through
-    the packed planes (``lane_take_p``'s transpose is the inverse take).
-    When the live fraction is below the band margin the routing indices
-    degrade to the identity (a copy) — never an illegal band."""
+    banded one-hot-matmul kernel (kernels/lane_pack.py). State is the SoA
+    15-tuple (ox..oz, dx..dz, wr..wb, cr..cb, alive, gid, rc). Returns
+    ``(packed_state, lane_restore)`` with ``lane_restore(cr, cg, cb)``
+    routing per-ray results back to the pre-pack layout. Differentiable
+    through the packed planes (``lane_take_p``'s transpose is the inverse
+    take). When the live fraction is below the band margin the routing
+    indices degrade to the identity (a copy) — never an illegal band."""
     from atray_tpu.kernels.lane_pack import (
         lane_take_p,
         pack_indices,
         unpack_indices,
     )
 
-    o, d, weight, color, alive, gid, rc = state
-    n = o.shape[0]
+    alive = state[12]
+    gid = state[13]
+    rc = state[14]
+    n = alive.shape[0]
     rows = n // 128
 
     occ = jnp.mean(alive.astype(jnp.float32))
@@ -545,45 +658,47 @@ def _lane_pack_state(state):
     pidx = jnp.where(ok, pack_indices(alive), ident)
     uidx = jnp.where(ok, unpack_indices(alive), ident)
 
-    def planes(x):
-        if x.ndim == 1:
-            return [x.astype(jnp.float32).reshape(rows, 128)]
-        return [x[:, k].reshape(rows, 128) for k in range(x.shape[1])]
+    def pl_(x):
+        return x.astype(jnp.float32).reshape(rows, 128)
 
-    cols = jnp.stack(
-        planes(o) + planes(d) + planes(weight) + planes(color)
-        + planes(alive) + planes(gid)
-    )                                              # (14, rows, 128)
+    cols = jnp.stack([pl_(x) for x in state[:14]])  # (14, rows, 128)
     pk = lane_take_p(cols, pidx, _LANE_WCAP)
 
-    def vec(k):
-        return jnp.stack(
-            [pk[k].reshape(-1), pk[k + 1].reshape(-1),
-             pk[k + 2].reshape(-1)], axis=1,
-        )
+    def f(k):
+        return pk[k].reshape(-1)
 
-    alive2 = pk[12].reshape(-1) > 0.5
-    gid2 = pk[13].reshape(-1).astype(jnp.int32)
-    o2, d2, w2, c2 = vec(0), vec(3), vec(6), vec(9)
+    alive2 = f(12) > 0.5
+    gid2 = f(13).astype(jnp.int32)
     # the packed tail is zeros — re-park dead lanes (same convention as
     # the bounce step: far origin, +z, so they stay inert and their junk
     # never reaches normalize/rsqrt in reverse mode)
-    o2 = jnp.where(alive2[:, None], o2, 1.0e7)
-    d2 = jnp.where(alive2[:, None], d2, jnp.asarray([0.0, 0.0, 1.0]))
+    ox2 = jnp.where(alive2, f(0), 1.0e7)
+    oy2 = jnp.where(alive2, f(1), 1.0e7)
+    oz2 = jnp.where(alive2, f(2), 1.0e7)
+    dx2 = jnp.where(alive2, f(3), 0.0)
+    dy2 = jnp.where(alive2, f(4), 0.0)
+    dz2 = jnp.where(alive2, f(5), 1.0)
 
     alive_pre = alive
-    color_pre = color
+    c_pre = (state[9], state[10], state[11])
 
-    def lane_restore(col):
+    def lane_restore(cr, cg, cb):
         # live rays' final color routes back through the inverse take;
         # rays already dead AT PACK TIME were dropped by the pack but
         # keep the radiance they had accumulated — splice it back in
-        cp = jnp.stack([col[:, k].reshape(rows, 128) for k in range(3)])
+        cp = jnp.stack([pl_(cr), pl_(cg), pl_(cb)])
         up = lane_take_p(cp, uidx, _LANE_WCAP)
-        up = jnp.stack([up[k].reshape(-1) for k in range(3)], axis=1)
-        return jnp.where(alive_pre[:, None], up, color_pre)
+        return (
+            jnp.where(alive_pre, up[0].reshape(-1), c_pre[0]),
+            jnp.where(alive_pre, up[1].reshape(-1), c_pre[1]),
+            jnp.where(alive_pre, up[2].reshape(-1), c_pre[2]),
+        )
 
-    return (o2, d2, w2, c2, alive2, gid2, rc), lane_restore
+    return (
+        (ox2, oy2, oz2, dx2, dy2, dz2, f(6), f(7), f(8), f(9), f(10),
+         f(11), alive2, gid2, rc),
+        lane_restore,
+    )
 
 
 import os as _os
@@ -676,49 +791,49 @@ def _octant_regroup(state):
     Returns (state, restore) like _lane_pack_state."""
     from atray_tpu.kernels.lane_pack import lane_scatter_p, lane_take_p
 
-    o, d, weight, color, alive, gid, rc = state
-    n = o.shape[0]
+    alive = state[12]
+    rc = state[14]
+    n = alive.shape[0]
     rows = n // 128
 
     octd = (
-        (d[:, 0] > 0).astype(jnp.int32) * 4
-        + (d[:, 1] > 0).astype(jnp.int32) * 2
-        + (d[:, 2] > 0).astype(jnp.int32)
+        (state[3] > 0).astype(jnp.int32) * 4
+        + (state[4] > 0).astype(jnp.int32) * 2
+        + (state[5] > 0).astype(jnp.int32)
     )
     cls = jnp.where(alive, octd, jnp.int32(8))        # dead = class 8
     dst = _class_rank_dst(cls, 9, _NB_ROWS * 128)
 
-    def planes(x):
-        if x.ndim == 1:
-            return [x.astype(jnp.float32).reshape(rows, 128)]
-        return [x[:, k].reshape(rows, 128) for k in range(x.shape[1])]
+    def pl_(x):
+        return x.astype(jnp.float32).reshape(rows, 128)
 
-    cols = jnp.stack(
-        planes(o) + planes(d) + planes(weight) + planes(color)
-        + planes(alive) + planes(gid)
-    )                                                 # (14, rows, 128)
+    cols = jnp.stack([pl_(x) for x in state[:14]])    # (14, rows, 128)
     # window: sources live within one 64-row neighborhood; wcap=68 covers
     # the floored anchor plus quad rounding
     pk = lane_scatter_p(cols, dst, _nb_wcap(rows), _NB_ROWS)
 
-    def vec(k):
-        return jnp.stack(
-            [pk[k].reshape(-1), pk[k + 1].reshape(-1),
-             pk[k + 2].reshape(-1)], axis=1,
-        )
+    def f(k):
+        return pk[k].reshape(-1)
 
-    alive2 = pk[12].reshape(-1) > 0.5
-    gid2 = pk[13].reshape(-1).astype(jnp.int32)
-    o2, d2, w2, c2 = vec(0), vec(3), vec(6), vec(9)
-    o2 = jnp.where(alive2[:, None], o2, 1.0e7)
-    d2 = jnp.where(alive2[:, None], d2, jnp.asarray([0.0, 0.0, 1.0]))
+    alive2 = f(12) > 0.5
+    gid2 = f(13).astype(jnp.int32)
+    ox2 = jnp.where(alive2, f(0), 1.0e7)
+    oy2 = jnp.where(alive2, f(1), 1.0e7)
+    oz2 = jnp.where(alive2, f(2), 1.0e7)
+    dx2 = jnp.where(alive2, f(3), 0.0)
+    dy2 = jnp.where(alive2, f(4), 0.0)
+    dz2 = jnp.where(alive2, f(5), 1.0)
 
-    def oct_restore(col):
-        cp = jnp.stack([col[:, k].reshape(rows, 128) for k in range(3)])
+    def oct_restore(cr, cg, cb):
+        cp = jnp.stack([pl_(cr), pl_(cg), pl_(cb)])
         up = lane_take_p(cp, dst, _nb_wcap(rows), _NB_ROWS)
-        return jnp.stack([up[k].reshape(-1) for k in range(3)], axis=1)
+        return up[0].reshape(-1), up[1].reshape(-1), up[2].reshape(-1)
 
-    return (o2, d2, w2, c2, alive2, gid2, rc), oct_restore
+    return (
+        (ox2, oy2, oz2, dx2, dy2, dz2, f(6), f(7), f(8), f(9), f(10),
+         f(11), alive2, gid2, rc),
+        oct_restore,
+    )
 
 
 def _split_accel(accel):
@@ -853,36 +968,43 @@ def trace_radiance(
             )
         return _fused_cache[k]
 
-    _onehot_rows = onehot_rows   # module-level helper (shared with the
-    #                              fused material resolve and treelet ring)
 
-    def _hit_inputs(o, d, alive, accel_, split=False, mp=1):
-        """(t, n, hit, em_ray, al_ray, sc_ray, aux) for the nearest hit.
+    def _hit_inputs(ox, oy, oz, dx, dy, dz, alive, accel_, split=False,
+                    mp=1):
+        """SoA nearest-hit: returns flat (R,) planes
+        (t, nx, ny, nz, hit, em_r, em_g, em_b, al_r, al_g, al_b, scat).
 
         Standard path: discrete ids + differentiable resolve + material
-        gathers. Fused path (ShadedWideBVH): one custom-VJP kernel call
-        returns normal and material constants — zero per-ray gathers in
-        the forward; sphere/plane lanes are patched in with one-hot
-        matmuls. ``alive`` lets the kernel skip fully-terminated ray
-        blocks. ``aux`` carries (sphere_mask, sphere_id) for NEE
-        occlusion tests.
+        gathers (through an (R,3) adapter — oracle/test path). Fused path
+        (ShadedWideBVH): one custom-VJP kernel call returns plane-major
+        hit data — zero per-ray gathers and zero AoS intermediates in the
+        forward; sphere/plane lanes are patched in with select chains.
+        ``alive`` lets the kernel skip fully-terminated ray blocks.
         """
         if hit_override is not None:
-            out = hit_override(o, d, alive)
+            # (R,3) adapter for the treelet / override contract
+            o3 = jnp.stack([ox, oy, oz], axis=1)
+            d3 = jnp.stack([dx, dy, dz], axis=1)
+            out = hit_override(o3, d3, alive)
             if len(out) == 6:
                 # fused-style override: material constants ride the hit
                 # record (the kernel-backed treelet ring) — no gathers
-                t, n, em_ray, al_ray, sc_ray, hit = out
+                t, n, em3, al3, sc1, hit = out
                 return _patch_spheres_planes(
-                    o, d, t, n, hit, em_ray, al_ray, sc_ray
+                    ox, oy, oz, dx, dy, dz, t,
+                    n[:, 0], n[:, 1], n[:, 2], hit,
+                    em3[:, 0], em3[:, 1], em3[:, 2],
+                    al3[:, 0], al3[:, 1], al3[:, 2], sc1,
                 )
             t, n, mat, hit = out
+            mats = resolve_material_comps(scene, mat, hit)
             return _patch_spheres_planes(
-                o, d, t, n, hit, em[mat], al[mat], sc[mat]
+                ox, oy, oz, dx, dy, dz, t,
+                n[:, 0], n[:, 1], n[:, 2], hit, *mats,
             )
         if isinstance(accel_, ShadedWideBVH):
-            t, n, em_ray, al_ray, sc_ray, fid = _fused_for(accel_, split, mp)(
-                scene, o, d, alive.astype(jnp.float32)
+            out = _fused_for(accel_, split, mp)(
+                scene, ox, oy, oz, dx, dy, dz, alive.astype(jnp.float32)
             )
             # name the kernel outputs so the remat policy SAVES them:
             # the backward replays the bounce body's cheap elementwise
@@ -890,121 +1012,145 @@ def trace_radiance(
             # with saved hit records, SURVEY.md §7 arch item 6)
             from jax.ad_checkpoint import checkpoint_name
 
-            t, n, em_ray, al_ray, sc_ray, fid = jax.tree_util.tree_map(
-                lambda x: checkpoint_name(x, "hit_shade"),
-                (t, n, em_ray, al_ray, sc_ray, fid),
+            out = jax.tree_util.tree_map(
+                lambda x: checkpoint_name(x, "hit_shade"), out
             )
+            (t, nx, ny, nz, emr, emg, emb, alr, alg, alb, scat, fid) = out
             hit = fid >= 0
-            return _patch_spheres_planes(o, d, t, n, hit, em_ray, al_ray, sc_ray)
+            return _patch_spheres_planes(
+                ox, oy, oz, dx, dy, dz, t, nx, ny, nz, hit,
+                emr, emg, emb, alr, alg, alb, scat,
+            )
 
-        ids = nearest_hit_ids(scene, o, d, accel=accel_)
-        t, n, mat, hit = resolve_hit(scene, o, d, ids, face_table=face_table)
-        sph_mask = ids.prim_type == PRIM_SPHERE
-        return (
-            t, n, hit, em[mat], al[mat], sc[mat],
-            (sph_mask, jnp.where(sph_mask, ids.prim_id, -1)),
-        )
+        o3 = jnp.stack([ox, oy, oz], axis=1)
+        d3 = jnp.stack([dx, dy, dz], axis=1)
+        ids = nearest_hit_ids(scene, o3, d3, accel=accel_)
+        t, n, mat, hit = resolve_hit(scene, o3, d3, ids,
+                                     face_table=face_table)
+        mats = resolve_material_comps(scene, mat, hit)
+        # material 0 on miss still shades as sky via the miss branch;
+        # resolve_material_comps zeroes miss lanes, matching the fused
+        # kernel's sentinel contract
+        return (t, n[:, 0], n[:, 1], n[:, 2], hit, *mats)
 
-    def _patch_spheres_planes(o, d, t, n, hit, em_ray, al_ray, sc_ray):
+    def _patch_spheres_planes(ox, oy, oz, dx, dy, dz, t, nx, ny, nz, hit,
+                              emr, emg, emb, alr, alg, alb, scat):
         """Merge the (replicated, tiny) sphere/plane classes into a
         triangle-class nearest hit — shared by the fused-kernel and
-        hit_override paths. Returns the full ``_hit_inputs`` tuple."""
-        sph_mask = jnp.zeros((r,), bool)
-        sph_id = jnp.full((r,), -1, jnp.int32)
+        hit_override paths. All flat (R,) planes."""
         if scene.spheres.count > 0:
-            ts, sid = sphere_hits(
-                o, d, scene.spheres.centers, scene.spheres.radii
+            cen = scene.spheres.centers
+            ts, sid = _sphere_hits_soa(
+                ox, oy, oz, dx, dy, dz, cen, scene.spheres.radii
             )
             closer = ts < t
             # miss lanes carry ts = INF; zero them before building the
             # hit point or the INF reaches normalize's VJP as a NaN
             # partial (NaN * zero-cotangent still poisons reverse mode)
             ts_safe = jnp.where(ts < 1.0e30, ts, 0.0)
-            p = o + ts_safe[:, None] * d
-            c_rows = _onehot_rows(sid, scene.spheres.centers)
-            n_s = normalize(p - c_rows)
-            mat_s = _onehot_rows(
-                sid, scene.spheres.material_id[:, None].astype(jnp.float32)
-            )[:, 0].astype(jnp.int32)
-            t = jnp.where(closer, ts, t)
-            n = jnp.where(closer[:, None], n_s, n)
-            em_ray = jnp.where(closer[:, None], _onehot_rows(mat_s, em), em_ray)
-            al_ray = jnp.where(closer[:, None], _onehot_rows(mat_s, al), al_ray)
-            sc_ray = jnp.where(
-                closer, _onehot_rows(mat_s, sc[:, None])[:, 0], sc_ray
+            nsx, nsy, nsz = _norm3(
+                ox + ts_safe * dx - onehot_rows(sid, cen[:, 0]),
+                oy + ts_safe * dy - onehot_rows(sid, cen[:, 1]),
+                oz + ts_safe * dz - onehot_rows(sid, cen[:, 2]),
             )
+            mat_s = onehot_rows(
+                sid, scene.spheres.material_id.astype(jnp.float32)
+            ).astype(jnp.int32)
+            t = jnp.where(closer, ts, t)
+            nx = jnp.where(closer, nsx, nx)
+            ny = jnp.where(closer, nsy, ny)
+            nz = jnp.where(closer, nsz, nz)
+            ms = resolve_material_comps(scene, mat_s, closer)
+            emr = jnp.where(closer, ms[0], emr)
+            emg = jnp.where(closer, ms[1], emg)
+            emb = jnp.where(closer, ms[2], emb)
+            alr = jnp.where(closer, ms[3], alr)
+            alg = jnp.where(closer, ms[4], alg)
+            alb = jnp.where(closer, ms[5], alb)
+            scat = jnp.where(closer, ms[6], scat)
             hit = hit | (closer & (sid >= 0))
-            sph_mask = closer & (sid >= 0)
-            sph_id = jnp.where(sph_mask, sid, -1)
         if scene.planes.count > 0:
-            tp, pid = plane_hits(
-                o, d, scene.planes.normals, scene.planes.offsets
+            pn = scene.planes.normals
+            tp, pid = _plane_hits_soa(
+                ox, oy, oz, dx, dy, dz, pn, scene.planes.offsets
             )
             closer = tp < t
-            n_p = _onehot_rows(pid, scene.planes.normals)
-            mat_p = _onehot_rows(
-                pid, scene.planes.material_id[:, None].astype(jnp.float32)
-            )[:, 0].astype(jnp.int32)
+            mat_p = onehot_rows(
+                pid, scene.planes.material_id.astype(jnp.float32)
+            ).astype(jnp.int32)
             t = jnp.where(closer, tp, t)
-            n = jnp.where(closer[:, None], n_p, n)
-            em_ray = jnp.where(closer[:, None], _onehot_rows(mat_p, em), em_ray)
-            al_ray = jnp.where(closer[:, None], _onehot_rows(mat_p, al), al_ray)
-            sc_ray = jnp.where(
-                closer, _onehot_rows(mat_p, sc[:, None])[:, 0], sc_ray
-            )
+            nx = jnp.where(closer, onehot_rows(pid, pn[:, 0]), nx)
+            ny = jnp.where(closer, onehot_rows(pid, pn[:, 1]), ny)
+            nz = jnp.where(closer, onehot_rows(pid, pn[:, 2]), nz)
+            ms = resolve_material_comps(scene, mat_p, closer)
+            emr = jnp.where(closer, ms[0], emr)
+            emg = jnp.where(closer, ms[1], emg)
+            emb = jnp.where(closer, ms[2], emb)
+            alr = jnp.where(closer, ms[3], alr)
+            alg = jnp.where(closer, ms[4], alg)
+            alb = jnp.where(closer, ms[5], alb)
+            scat = jnp.where(closer, ms[6], scat)
             hit = hit | (closer & (pid >= 0))
-            sph_mask = sph_mask & ~closer
-            sph_id = jnp.where(sph_mask, sph_id, -1)
-        return t, n, hit, em_ray, al_ray, sc_ray, (sph_mask, sph_id)
+        return t, nx, ny, nz, hit, emr, emg, emb, alr, alg, alb, scat
 
-    def _merge_light_check(t, o, d, dist, lid):
+    def _merge_light_check(t, ox, oy, oz, dx, dy, dz, dist, lid):
         """Given the triangle-class nearest t of the shadow rays, fold in
         the (replicated) sphere/plane classes and decide occlusion: blocked
         by anything nearer than ``dist`` that is not the picked light."""
         is_light = jnp.zeros_like(lid, dtype=bool)
         if scene.spheres.count > 0:
-            ts, sid = sphere_hits(
-                o, d, scene.spheres.centers, scene.spheres.radii
+            ts, sid = _sphere_hits_soa(
+                ox, oy, oz, dx, dy, dz,
+                scene.spheres.centers, scene.spheres.radii,
             )
             is_light = (ts < t) & (sid == lid)
             t = jnp.minimum(t, ts)
         if scene.planes.count > 0:
-            tp, _ = plane_hits(
-                o, d, scene.planes.normals, scene.planes.offsets
+            tp, _ = _plane_hits_soa(
+                ox, oy, oz, dx, dy, dz,
+                scene.planes.normals, scene.planes.offsets,
             )
             is_light = is_light & ~(tp < t)
             t = jnp.minimum(t, tp)
         return (t < dist - 1.0e-3) & (~is_light)
 
-    def _occlusion(o, d, accel_, dist, lid, live, split=False, mp=1):
+    def _occlusion(ox, oy, oz, dx, dy, dz, accel_, dist, lid, live,
+                   split=False, mp=1):
         """True where something other than the picked light blocks the
         shadow ray before ``dist``. Purely discrete — all inputs detached
         (visibility carries no gradient by convention)."""
-        o = jax.lax.stop_gradient(o)
-        d = jax.lax.stop_gradient(d)
-        dist = jax.lax.stop_gradient(dist)
+        sg = jax.lax.stop_gradient
+        ox, oy, oz = sg(ox), sg(oy), sg(oz)
+        dx, dy, dz = sg(dx), sg(dy), sg(dz)
+        dist = sg(dist)
         if occl_override is not None:
             # triangle-class nearest t from the caller's query (the treelet
             # path runs a second, leaner ppermute ring for shadow rays)
+            o3 = jnp.stack([ox, oy, oz], axis=1)
+            d3 = jnp.stack([dx, dy, dz], axis=1)
             return _merge_light_check(
-                occl_override(o, d, live), o, d, dist, lid
+                occl_override(o3, d3, live), ox, oy, oz, dx, dy, dz,
+                dist, lid,
             )
         if isinstance(accel_, ShadedWideBVH):
             from jax.ad_checkpoint import checkpoint_name
 
-            from atray_tpu.kernels.wide_shade import wide_shade_first_hit
+            from atray_tpu.kernels.wide_shade import wide_shade_planes
 
-            t = wide_shade_first_hit(
-                accel_, o, d, alive=live, interpret=interpret,
+            t = wide_shade_planes(
+                accel_, ox, oy, oz, dx, dy, dz,
+                live.astype(jnp.float32), interpret=interpret,
                 octant_split=split, multi_pop=mp,
             )["t"]
             t = checkpoint_name(t, "hit_shade")
-            return _merge_light_check(t, o, d, dist, lid)
-        sids = nearest_hit_ids(scene, o, d, accel=accel_)
+            return _merge_light_check(t, ox, oy, oz, dx, dy, dz, dist, lid)
+        o3 = jnp.stack([ox, oy, oz], axis=1)
+        d3 = jnp.stack([dx, dy, dz], axis=1)
+        sids = nearest_hit_ids(scene, o3, d3, accel=accel_)
         is_light = (sids.prim_type == PRIM_SPHERE) & (sids.prim_id == lid)
         return (sids.t < dist - 1.0e-3) & (~is_light)
 
-    def sort_key(o, d, alive):
+    def sort_key(ox, oy, oz, dx, dy, dz, alive):
         """Compaction key: dead rays last; live rays grouped SPATIAL-major
         (MORTON-interleaved origin cell, 6 bits/axis over the mesh
         bounds) with the direction octant as tiebreak. Measured
@@ -1018,15 +1164,6 @@ def trace_radiance(
         interleaving keeps consecutive keys spatially ADJACENT, so an
         8-row traversal block spans a compact region instead of a
         raster scanline."""
-        if scene.mesh.num_vertices > 0:
-            v = scene.mesh.vertices
-            lo = jnp.min(v, axis=0)
-            hi = jnp.max(v, axis=0)
-            q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
-            cell = (q * 63.0).astype(jnp.int32)
-        else:
-            cell = jnp.zeros(o.shape, jnp.int32)
-
         def spread3(x):
             # spread up to 10 bits so bit k lands at position 3k
             x = (x | (x << 16)) & 0x030000FF
@@ -1035,15 +1172,28 @@ def trace_radiance(
             x = (x | (x << 2)) & 0x09249249
             return x
 
-        morton = (
-            (spread3(cell[:, 0]) << 2)
-            | (spread3(cell[:, 1]) << 1)
-            | spread3(cell[:, 2])
-        )
+        if scene.mesh.num_vertices > 0:
+            v = scene.mesh.vertices
+            lo = jnp.min(v, axis=0)
+            hi = jnp.max(v, axis=0)
+            span = jnp.maximum(hi - lo, 1e-6)
+
+            def cell(c, k):
+                q = jnp.clip((c - lo[k]) / span[k], 0.0, 1.0)
+                return (q * 63.0).astype(jnp.int32)
+
+            morton = (
+                (spread3(cell(ox, 0)) << 2)
+                | (spread3(cell(oy, 1)) << 1)
+                | spread3(cell(oz, 2))
+            )
+        else:
+            morton = jnp.zeros_like(alive, jnp.int32)
+
         octd = (
-            (d[:, 0] > 0).astype(jnp.int32) * 4
-            + (d[:, 1] > 0).astype(jnp.int32) * 2
-            + (d[:, 2] > 0).astype(jnp.int32)
+            (dx > 0).astype(jnp.int32) * 4
+            + (dy > 0).astype(jnp.int32) * 2
+            + (dz > 0).astype(jnp.int32)
         )
         key_ = (morton << 3) | octd
         return jnp.where(alive, key_, jnp.int32(1) << 30)
@@ -1066,14 +1216,15 @@ def trace_radiance(
         state stays compacted for every later bounce (survivors are a
         subset of the live rows).
 
-        Returns ``(state, restore)`` where ``restore(color)`` undoes the
-        permutation via an INVERSE-permutation GATHER — never an XLA
+        Returns ``(state, restore)`` where ``restore(cr, cg, cb)`` undoes
+        the permutation via an INVERSE-permutation GATHER — never an XLA
         scatter: the old ``zeros.at[gid].set(color)`` restore lowered to
         a 4.15M-row scatter costing 249 ms of a 342 ms single-bounce
         frame (scripts/probe_r10.py HLO trace), and inverting the 16k
         row permutation is a trivial second argsort."""
-        o, d, weight, color, alive, gid, rc = state
-        keys = sort_key(o, d, alive)
+        rc = state[-1]
+        alive = state[12]
+        keys = sort_key(*state[0:6], alive)
         n = keys.shape[0]
         lane = 128
         if n % lane == 0 and n >= 4 * lane:
@@ -1084,12 +1235,10 @@ def trace_radiance(
             inv = jnp.argsort(rperm)
 
             def take(x, p=rperm):
-                return x.reshape((rows, lane) + x.shape[1:])[p].reshape(
-                    x.shape
-                )
+                return x.reshape(rows, lane)[p].reshape(x.shape)
 
-            def restore(c):
-                return take(c, p=inv)
+            def restore(cr, cg, cb):
+                return take(cr, p=inv), take(cg, p=inv), take(cb, p=inv)
         else:
             # tiny or ragged wavefronts (tests, small shards): per-ray sort
             perm = jnp.argsort(keys, stable=True)
@@ -1098,13 +1247,10 @@ def trace_radiance(
             def take(x, p=perm):
                 return x[p]
 
-            def restore(c):
-                return c[inv]
+            def restore(cr, cg, cb):
+                return cr[inv], cg[inv], cb[inv]
 
-        state_r = (
-            take(o), take(d), take(weight), take(color), take(alive),
-            take(gid), rc,
-        )
+        state_r = tuple(take(x) for x in state[:14]) + (rc,)
 
         # Per-RAY lane packing on top of the row sort (kernels/
         # lane_pack.py): live rays densify to a prefix of LANES, not just
@@ -1123,112 +1269,138 @@ def trace_radiance(
             state_r, lane_restore = _lane_pack_state(state_r)
             row_restore = restore
 
-            def restore(c):
-                return row_restore(lane_restore(c))
+            def restore(cr, cg, cb):
+                return row_restore(*lane_restore(cr, cg, cb))
 
         return state_r, restore
 
     def bounce_step(state, b, accel_, split=False, mp=1):
-        """One wavefront bounce. ``b`` may be a static int (peeled primary)
-        or a traced scan index. ``split`` selects the octant-partitioned
-        kernel variant (right for incoherent bounce rays, overhead for
-        coherent primaries); ``mp`` the multi-pop batch (K=1 coherent
-        primary, K=BOUNCE_MULTI_POP scanned bounces)."""
-        o, d, weight, color, alive, gid, rc = state
+        """One wavefront bounce, SoA: every per-ray quantity is a flat
+        (R,) plane. ``b`` may be a static int (peeled primary) or a traced
+        scan index. ``split`` selects the octant-partitioned kernel
+        variant; ``mp`` the multi-pop batch (K=BOUNCE_MULTI_POP)."""
+        (ox, oy, oz, dx, dy, dz, wr, wg, wb, cr, cg, cb,
+         alive, gid, rc) = state
         if uniforms is not None:
             uni = uniforms[b][gid - gid0]
+            ucols = tuple(uni[:, k] for k in range(nchan))
         else:
-            uni = ray_uniforms(key, gid, b, nchan)
+            ucols = _ray_uniform_cols(key, gid, b, nchan)
         # total rays actually cast = live paths entering the bounce (the
         # reference's RenderTile.ray_casts counter, renderer.cpp:345,355,
         # 465-468) — here a reduction, not an atomic.
         rc = rc + jnp.sum(alive.astype(jnp.float32))
 
-        t, n, hit, em_ray, al_ray, sc_ray, _aux = _hit_inputs(
-            o, d, alive, accel_, split, mp
-        )
+        (t, nx, ny, nz, hit, emr, emg, emb, alr, alg, alb,
+         scat) = _hit_inputs(ox, oy, oz, dx, dy, dz, alive, accel_, split,
+                             mp)
 
         miss_now = alive & ~hit
-        color = color + jnp.where(miss_now[:, None], weight * sky, 0.0)
+        cr = cr + jnp.where(miss_now, wr * sky[0], 0.0)
+        cg = cg + jnp.where(miss_now, wg * sky[1], 0.0)
+        cb = cb + jnp.where(miss_now, wb * sky[2], 0.0)
 
         live_hit = alive & hit
-        cos_in = dot(-d, n)
+        cos_in = -(dx * nx + dy * ny + dz * nz)
         backface = cos_in < 0.0
-        n_o = jnp.where(backface[:, None], -n, n)
+        nxo = jnp.where(backface, -nx, nx)
+        nyo = jnp.where(backface, -ny, ny)
+        nzo = jnp.where(backface, -nz, nz)
         atten = jnp.where(backface, 0.0, cos_in)
 
         # Emitters: with NEE their light arrives via shadow rays, so hit
         # emission is only added on the camera bounce (else every light
         # would be counted twice).
-        em_add = weight * em_ray
+        em_gate = live_hit
         if nee_active:
-            em_add = jnp.where(jnp.asarray(b) == 0, em_add, 0.0)
-        color = color + jnp.where(live_hit[:, None], em_add, 0.0)
+            em_gate = em_gate & (jnp.asarray(b) == 0)
+        cr = cr + jnp.where(em_gate, wr * emr, 0.0)
+        cg = cg + jnp.where(em_gate, wg * emg, 0.0)
+        cb = cb + jnp.where(em_gate, wb * emb, 0.0)
 
         # t is INF on misses; zero it before use so the untaken where-branch
         # stays finite (INF * 0 -> NaN would poison reverse-mode grads).
         t_safe = jnp.where(hit, t, 0.0)
-        hit_p = o + t_safe[:, None] * d
+        hx = ox + t_safe * dx
+        hy = oy + t_safe * dy
+        hz = oz + t_safe * dz
 
         if nee_active:
             # --- next-event estimation (shadow rays to sphere lights) ----
             ns = scene.spheres.count
-            u_pick = (uni[:, 3] + 1.0) * 0.5                 # [0, 1)
+            cen = scene.spheres.centers
+            lem_tab = em[scene.spheres.material_id]          # (S, 3) tiny
+            u_pick = (ucols[3] + 1.0) * 0.5                  # [0, 1)
             lid = jnp.minimum((u_pick * ns).astype(jnp.int32), ns - 1)
-            lc = scene.spheres.centers[lid]
-            lr = scene.spheres.radii[lid]
-            lem = em[scene.spheres.material_id[lid]]
+            lcx = onehot_rows(lid, cen[:, 0])
+            lcy = onehot_rows(lid, cen[:, 1])
+            lcz = onehot_rows(lid, cen[:, 2])
+            lr = onehot_rows(lid, scene.spheres.radii)
+            lemr = onehot_rows(lid, lem_tab[:, 0])
+            lemg = onehot_rows(lid, lem_tab[:, 1])
+            lemb = onehot_rows(lid, lem_tab[:, 2])
             # uniform point on the light sphere from 2 uniforms
-            z = uni[:, 4]                                     # [-1, 1]
-            phi = (uni[:, 5] + 1.0) * jnp.pi                  # [0, 2pi)
+            z = ucols[4]                                      # [-1, 1]
+            phi = (ucols[5] + 1.0) * jnp.pi                   # [0, 2pi)
             s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-            sp = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], axis=1)
-            target = lc + lr[:, None] * sp
-            delta = target - hit_p
-            dist = jnp.sqrt(jnp.maximum(dot(delta, delta), 1.0e-12))
-            ldir = delta / dist[:, None]
-            cos_l = jnp.maximum(dot(n_o, ldir), 0.0)
+            tx = lcx + lr * (s * jnp.cos(phi)) - hx
+            ty = lcy + lr * (s * jnp.sin(phi)) - hy
+            tz = lcz + lr * z - hz
+            dist = jnp.sqrt(
+                jnp.maximum(tx * tx + ty * ty + tz * tz, 1.0e-12)
+            )
+            ldx = tx / dist
+            ldy = ty / dist
+            ldz = tz / dist
+            cos_l = jnp.maximum(nxo * ldx + nyo * ldy + nzo * ldz, 0.0)
             # occlusion: nearest hit along the shadow ray closer than the
             # light sample point (minus eps to ignore the light's own
             # surface); dead lanes get parked rays
-            so = jnp.where(live_hit[:, None], hit_p, 1.0e7)
-            sd = jnp.where(live_hit[:, None], ldir, jnp.asarray([0.0, 0.0, 1.0]))
+            sox = jnp.where(live_hit, hx, 1.0e7)
+            soy = jnp.where(live_hit, hy, 1.0e7)
+            soz = jnp.where(live_hit, hz, 1.0e7)
+            sdx = jnp.where(live_hit, ldx, 0.0)
+            sdy = jnp.where(live_hit, ldy, 0.0)
+            sdz = jnp.where(live_hit, ldz, 1.0)
             occluded = _occlusion(
-                so, sd, accel_, dist, lid, live_hit, split, mp
+                sox, soy, soz, sdx, sdy, sdz, accel_, dist, lid, live_hit,
+                split, mp,
             )
             geom = (lr * lr) / jnp.maximum(dist * dist, lr * lr)
-            direct = (
-                weight
-                * al_ray
-                * lem
-                * (cos_l * geom * ns)[:, None]
-            )
-            color = color + jnp.where(
-                (live_hit & ~occluded)[:, None], direct, 0.0
-            )
+            gain = cos_l * geom * ns
+            lit = live_hit & ~occluded
+            cr = cr + jnp.where(lit, wr * alr * lemr * gain, 0.0)
+            cg = cg + jnp.where(lit, wg * alg * lemg * gain, 0.0)
+            cb = cb + jnp.where(lit, wb * alb * lemb * gain, 0.0)
 
-        weight = jnp.where(
-            live_hit[:, None], weight * al_ray * atten[:, None], weight
+        wr = jnp.where(live_hit, wr * alr * atten, wr)
+        wg = jnp.where(live_hit, wg * alg * atten, wg)
+        wb = jnp.where(live_hit, wb * alb * atten, wb)
+
+        ndx, ndy, ndz = _bounce_dir_soa(
+            dx, dy, dz, nxo, nyo, nzo, scat, ucols[0], ucols[1], ucols[2]
         )
-
-        new_d = _bounce_dir(d, n_o, sc_ray, uni[:, 0:3])
-        o = jnp.where(live_hit[:, None], hit_p, o)
-        d = jnp.where(live_hit[:, None], new_d, d)
         alive = live_hit
-
         # park dead rays far outside the scene: they stop contributing to
         # their block's traversal union (a stale dead ray re-walks its old
         # path, widening the union every live lane must wait for), and
         # all-dead blocks skip traversal entirely via the alive plane
-        o = jnp.where(alive[:, None], o, 1.0e7)
-        d = jnp.where(alive[:, None], d, jnp.asarray([0.0, 0.0, 1.0]))
-        return (o, d, weight, color, alive, gid, rc)
+        ox = jnp.where(alive, hx, 1.0e7)
+        oy = jnp.where(alive, hy, 1.0e7)
+        oz = jnp.where(alive, hz, 1.0e7)
+        dx = jnp.where(alive, ndx, 0.0)
+        dy = jnp.where(alive, ndy, 0.0)
+        dz = jnp.where(alive, ndz, 1.0)
+        return (ox, oy, oz, dx, dy, dz, wr, wg, wb, cr, cg, cb,
+                alive, gid, rc)
 
+    ones = jnp.ones((r,))
+    zeros = jnp.zeros((r,))
     state = (
-        orig,
-        dirn,
-        jnp.ones((r, 3)),
-        jnp.zeros((r, 3)),
+        orig[:, 0], orig[:, 1], orig[:, 2],
+        dirn[:, 0], dirn[:, 1], dirn[:, 2],
+        ones, ones, ones,
+        zeros, zeros, zeros,
         jnp.ones((r,), bool),
         ray_ids,
         jnp.float32(0.0),
@@ -1289,24 +1461,20 @@ def trace_radiance(
 
         rows = r // 128
         iota = jnp.arange(r, dtype=jnp.int32)
+        zero = jnp.zeros((r,))
 
-        def planes(x):
-            if x.ndim == 1:
-                return [x.astype(jnp.float32).reshape(rows, 128)]
-            return [x[:, k].reshape(rows, 128) for k in range(x.shape[1])]
-
-        def unvec(pk, k):
-            return jnp.stack(
-                [pk[k].reshape(-1), pk[k + 1].reshape(-1),
-                 pk[k + 2].reshape(-1)], axis=1,
-            )
+        def pl_(x):
+            return x.astype(jnp.float32).reshape(rows, 128)
 
         def body(carry, b):
-            o, d, weight, alive, gid, p0, color_full, rc = carry
-            st = (o, d, weight, jnp.zeros((r, 3)), alive, gid, rc)
-            o2, d2, w2, delta, alive_new, gid2, rc = bounce_step(
-                st, b, bounce_accel, split=False, mp=bounce_mp
-            )
+            (ox, oy, oz, dx, dy, dz, wr, wg, wb, alive, gid, p0,
+             cfr, cfg, cfb, rc) = carry
+            st = (ox, oy, oz, dx, dy, dz, wr, wg, wb, zero, zero, zero,
+                  alive, gid, rc)
+            out = bounce_step(st, b, bounce_accel, split=False,
+                              mp=bounce_mp)
+            (ox2, oy2, oz2, dx2, dy2, dz2, wr2, wg2, wb2, d_r, d_g, d_b,
+             alive_new, gid2, rc) = out
 
             # bank this bounce's radiance at the rays' layout positions.
             # Rays never leave their neighborhood (the repack below is
@@ -1314,35 +1482,49 @@ def trace_radiance(
             # neighborhood: anchor-aligned banding is legal forever.
             dst_d = jnp.where(alive, p0, jnp.int32(-1))
             routed = lane_scatter_p(
-                jnp.stack(planes(delta)), dst_d, _nb_wcap(rows), _NB_ROWS
+                jnp.stack([pl_(d_r), pl_(d_g), pl_(d_b)]), dst_d,
+                _nb_wcap(rows), _NB_ROWS,
             )
-            color_full = color_full + unvec(routed, 0)
+            cfr = cfr + routed[0].reshape(-1)
+            cfg = cfg + routed[1].reshape(-1)
+            cfb = cfb + routed[2].reshape(-1)
 
             # re-pack survivors: nb-local counting sort by direction
-            # OCTANT (probe_r26: direction-pure blocks with local origins
-            # beat plain packing) — every neighborhood's survivors group
-            # to its own class-major prefix; legal at any occupancy
+            # OCTANT — every neighborhood's survivors group to its own
+            # class-major prefix; legal at any occupancy
             octd = (
-                (d2[:, 0] > 0).astype(jnp.int32) * 4
-                + (d2[:, 1] > 0).astype(jnp.int32) * 2
-                + (d2[:, 2] > 0).astype(jnp.int32)
+                (dx2 > 0).astype(jnp.int32) * 4
+                + (dy2 > 0).astype(jnp.int32) * 2
+                + (dz2 > 0).astype(jnp.int32)
             )
             dst_p, alive3 = _class_rank_dst(
                 octd, 8, _NB_ROWS * 128, alive=alive_new
             )
-            cols = jnp.stack(
-                planes(o2) + planes(d2) + planes(w2)
-                + planes(gid2) + planes(p0)
-            )                                     # (11, rows, 128)
+            cols = jnp.stack([
+                pl_(ox2), pl_(oy2), pl_(oz2), pl_(dx2), pl_(dy2),
+                pl_(dz2), pl_(wr2), pl_(wg2), pl_(wb2), pl_(gid2),
+                pl_(p0),
+            ])                                    # (11, rows, 128)
             pk = lane_scatter_p(cols, dst_p, _nb_wcap(rows), _NB_ROWS)
-            o3, d3, w3 = unvec(pk, 0), unvec(pk, 3), unvec(pk, 6)
-            gid3 = pk[9].reshape(-1).astype(jnp.int32)
-            p03 = pk[10].reshape(-1).astype(jnp.int32)
+
+            def f(k):
+                return pk[k].reshape(-1)
+
+            gid3 = f(9).astype(jnp.int32)
+            p03 = f(10).astype(jnp.int32)
             # scatter leaves untargeted lanes zero — re-park dead lanes
             # (bounce-step convention: far origin, +z)
-            o3 = jnp.where(alive3[:, None], o3, 1.0e7)
-            d3 = jnp.where(alive3[:, None], d3, jnp.asarray([0.0, 0.0, 1.0]))
-            return (o3, d3, w3, alive3, gid3, p03, color_full, rc), None
+            ox3 = jnp.where(alive3, f(0), 1.0e7)
+            oy3 = jnp.where(alive3, f(1), 1.0e7)
+            oz3 = jnp.where(alive3, f(2), 1.0e7)
+            dx3 = jnp.where(alive3, f(3), 0.0)
+            dy3 = jnp.where(alive3, f(4), 0.0)
+            dz3 = jnp.where(alive3, f(5), 1.0)
+            return (
+                (ox3, oy3, oz3, dx3, dy3, dz3, f(6), f(7), f(8), alive3,
+                 gid3, p03, cfr, cfg, cfb, rc),
+                None,
+            )
 
         if remat:
             body = jax.checkpoint(
@@ -1352,13 +1534,17 @@ def trace_radiance(
                 ),
             )
 
-        o, d, weight, color, alive, gid, rc = state
-        carry = (o, d, weight, alive, gid, iota, color, rc)
+        (ox, oy, oz, dx, dy, dz, wr, wg, wb, cr, cg, cb, alive, gid,
+         rc) = state
+        carry = (ox, oy, oz, dx, dy, dz, wr, wg, wb, alive, gid, iota,
+                 cr, cg, cb, rc)
         carry, _ = jax.lax.scan(
             body, carry, jnp.arange(start, bounce_limit)
         )
-        o, d, weight, alive, gid, _p0, color, rc = carry
-        return (o, d, weight, color, alive, gid, rc)
+        (ox, oy, oz, dx, dy, dz, wr, wg, wb, alive, gid, _p0, cr, cg,
+         cb, rc) = carry
+        return (ox, oy, oz, dx, dy, dz, wr, wg, wb, cr, cg, cb, alive,
+                gid, rc)
 
     from atray_tpu.kernels.lane_pack import _stream_slab_rows
 
@@ -1412,11 +1598,13 @@ def trace_radiance(
                 scan_body, state, jnp.arange(start, bounce_limit)
             )
 
-    o, d, weight, color, alive, gid, rays_cast = state
+    cr, cg, cb = state[9], state[10], state[11]
+    rays_cast = state[14]
     if restore is not None:
-        color = restore(color)
+        cr, cg, cb = restore(cr, cg, cb)
     if oct_restore is not None:
-        color = oct_restore(color)
+        cr, cg, cb = oct_restore(cr, cg, cb)
+    color = jnp.stack([cr, cg, cb], axis=1)
     if return_stats:
         return color, {"rays_cast": rays_cast}
     return color
