@@ -31,6 +31,7 @@ changes), which the CPU oracle (tests/oracle.py) mirrors exactly.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
@@ -624,7 +625,7 @@ def draw_bounce_uniforms(
 # everywhere, which also collapses primary + bounce into ONE Mosaic
 # kernel config. K=8/12 (two packed i32 planes) measured 2.6x SLOWER:
 # the second fold+extract serializes the very pipeline K amortizes.
-BOUNCE_MULTI_POP = 4
+BOUNCE_MULTI_POP = int(_os.environ.get("ATRAY_BOUNCE_MP", "4"))
 
 
 _LANE_WCAP = 64                  # pack band: occupancy >= 1/63 ~= 1.6%
@@ -701,8 +702,6 @@ def _lane_pack_state(state):
     )
 
 
-import os as _os
-
 # Round-4 schedule knobs (probe-able via env, defaults = measured-best).
 # ATRAY_OCT_REGROUP: per-ray octant regroup before the first diffuse
 # bounce. probe_r28 (TRUE b1 state, plane sign fixed): the nb=64 regroup
@@ -715,6 +714,10 @@ _OCT_REGROUP = _os.environ.get("ATRAY_OCT_REGROUP", "0") == "1"
 # bounce per chunk) costs more than the late-bounce walks it accelerates
 # once the walk itself is fast (probe_r29) — default one-shot pack only.
 _REPACK_SCAN = _os.environ.get("ATRAY_REPACK_SCAN", "0") == "1"
+# ATRAY_B1_PACK: lane-pack the wavefront BEFORE the first diffuse bounce
+# (the b1 state is ~70% live after sky terminations; packing drops ~30%
+# of the traversal pairs at one lane_take of the state planes).
+_B1_PACK = _os.environ.get("ATRAY_B1_PACK", "0") == "1"
 
 _NB_ROWS = 64                    # octant-regroup neighborhood (64 rows)
 
@@ -1564,6 +1567,9 @@ def trace_radiance(
         # config, so Mosaic compiles ONE traversal kernel for the frame
         state = bounce_step(state, 0, primary_accel, mp=bounce_mp)
         start = 1
+    b1_restore = None
+    if sort_rays and lane_route_ok and bounce_limit > start and _B1_PACK:
+        state, b1_restore = _lane_pack_state(state)
     if sort_rays and lane_route_ok and bounce_limit > start and _OCT_REGROUP:
         # direction-octant regroup before the first diffuse bounce.
         # OFF by default since round 4: the regroup ROUTING costs more
@@ -1604,6 +1610,8 @@ def trace_radiance(
         cr, cg, cb = restore(cr, cg, cb)
     if oct_restore is not None:
         cr, cg, cb = oct_restore(cr, cg, cb)
+    if b1_restore is not None:
+        cr, cg, cb = b1_restore(cr, cg, cb)
     color = jnp.stack([cr, cg, cb], axis=1)
     if return_stats:
         return color, {"rays_cast": rays_cast}
