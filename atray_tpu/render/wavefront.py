@@ -478,6 +478,7 @@ def make_fused_hit_shade(
             interpret=interpret,
             octant_split=octant_split,
             multi_pop=multi_pop,
+            n_inter=N_INTER,
         )
         # material constants resolve here (cheap select chain over the
         # tiny material table) instead of per candidate inside the kernel
@@ -626,6 +627,10 @@ def draw_bounce_uniforms(
 # kernel config. K=8/12 (two packed i32 planes) measured 2.6x SLOWER:
 # the second fold+extract serializes the very pipeline K amortizes.
 BOUNCE_MULTI_POP = int(_os.environ.get("ATRAY_BOUNCE_MP", "4"))
+# independent interleaved walks per kernel program iteration (probe knob;
+# 2 = measured best pre-slim, re-sweepable now that the output block
+# shrank from 12 to 6 planes)
+N_INTER = int(_os.environ.get("ATRAY_N_INTER", "2"))
 
 
 _LANE_WCAP = 64                  # pack band: occupancy >= 1/63 ~= 1.6%
@@ -1143,7 +1148,7 @@ def trace_radiance(
             t = wide_shade_planes(
                 accel_, ox, oy, oz, dx, dy, dz,
                 live.astype(jnp.float32), interpret=interpret,
-                octant_split=split, multi_pop=mp,
+                octant_split=split, multi_pop=mp, n_inter=N_INTER,
             )["t"]
             t = checkpoint_name(t, "hit_shade")
             return _merge_light_check(t, ox, oy, oz, dx, dy, dz, dist, lid)

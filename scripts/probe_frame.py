@@ -47,6 +47,7 @@ def main():
     tris = int(os.environ.get("PF_TRIS", "139000"))
     sort = os.environ.get("PF_SORT", "0") == "1"
     leaf = int(os.environ.get("PF_LEAF", "16"))
+    bins = int(os.environ.get("PF_BINS", "16"))
     w, h = 1920, 1080
     chunk = int(os.environ.get("PF_CHUNK", str(2 * w * h)))
 
@@ -65,7 +66,8 @@ def main():
     )
     scene = build_scene([dragon], planes=planes, materials=mats)
     t0 = time.perf_counter()
-    accel = build_shaded_accel(scene, KDTreeConfig(leaf_size=leaf))
+    accel = build_shaded_accel(scene, KDTreeConfig(leaf_size=leaf,
+                                                   sah_bins=bins))
     jax.block_until_ready((accel.cboxes, accel.tris))
     print(f"accel: {accel.num_nodes} nodes, build {time.perf_counter()-t0:.2f}s",
           flush=True)

@@ -274,7 +274,7 @@ def main():
     )
     report["all_pass"] = bool(ok)
     report["elapsed_s"] = round(time.time() - t0, 1)
-    out = os.path.join(REPO, "TPU_PARITY_r03.json")
+    out = os.environ.get("ATRAY_PARITY_OUT", os.path.join(REPO, "TPU_PARITY_r04.json"))
     with open(out, "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps(report, indent=2))
