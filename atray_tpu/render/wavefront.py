@@ -627,10 +627,12 @@ def draw_bounce_uniforms(
 # kernel config. K=8/12 (two packed i32 planes) measured 2.6x SLOWER:
 # the second fold+extract serializes the very pipeline K amortizes.
 BOUNCE_MULTI_POP = int(_os.environ.get("ATRAY_BOUNCE_MP", "4"))
-# independent interleaved walks per kernel program iteration (probe knob;
-# 2 = measured best pre-slim, re-sweepable now that the output block
-# shrank from 12 to 6 planes)
-N_INTER = int(_os.environ.get("ATRAY_N_INTER", "2"))
+# independent interleaved walks per kernel program iteration. 2 was the
+# pre-slim optimum; with the round-4 slim kernel (6 output planes, so
+# ~half the VMEM residency per walk) three interleaved walks consistently
+# measure 0.7-1.9% faster across three independent film-based A/Bs
+# (probe_r31 + probe_frame x2); 4 still collapses.
+N_INTER = int(_os.environ.get("ATRAY_N_INTER", "3"))
 
 
 _LANE_WCAP = 64                  # pack band: occupancy >= 1/63 ~= 1.6%
