@@ -172,7 +172,7 @@ def main():
     dev = str(jax.devices()[0])
     assert "TPU" in dev or "tpu" in dev.lower(), f"need real TPU, got {dev}"
     report = {"device": dev, "checks": {}}
-    variants = [(2, 1), (2, 4), (4, 1), (4, 4)]
+    variants = [(2, 1), (2, 4), (3, 4), (4, 1), (4, 4)]
 
     # --- 1. kernel vs brute force, procedural scene -----------------------
     from atray_tpu.core.camera import camera_rays
