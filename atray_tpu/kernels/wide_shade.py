@@ -26,8 +26,6 @@ the face id (path replay) — that wrapper is the production entry point.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
