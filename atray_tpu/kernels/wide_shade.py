@@ -53,6 +53,7 @@ def _wide_shade_kernel(
     in_sem, out_sem,
     *, leaf_size: int, rows_per_leaf: int, block_sub: int, num_pairs: int,
     octant_split: bool, multi_pop: int, n_inter: int, ordered: bool,
+    stats: bool = False,
 ):
     S = block_sub
     del sent_hbm  # aliased storage: skipped pairs keep their sentinels
@@ -265,12 +266,14 @@ def _wide_shade_kernel(
             _spill = stacks_ref.shape[1] - 1   # garbage slot, never popped
             # desc in {0,1}: 7-cc == cc ^ 7 for 3-bit cc
             d7 = 0 if desc is None else desc * 7
+            leaf_inc = jnp.int32(0)    # leaf visits (DCE'd unless stats)
             for cc in range(8):
                 c = cc ^ d7
                 link = clinks_ref[c, node]
                 hit_c = live & (((mask >> c) & 1) == 1)
                 is_node = hit_c & (link >= 0)
                 is_leaf = hit_c & (link < 0) & (link > -2147483647)
+                leaf_inc = leaf_inc + is_leaf.astype(jnp.int32)
 
                 # BRANCHLESS push (round 4): the store happens
                 # UNCONDITIONALLY; a non-push is redirected to a dedicated
@@ -290,7 +293,7 @@ def _wide_shade_kernel(
                 def _(link=link, leaf_fn=leaf_fn):
                     leaf_fn(-(link + 1))
 
-            return sp
+            return sp, leaf_inc
 
         def run_pass(masks, live_scalars=None):
             """One interleaved ``n_inter``-block traversal. All halves'
@@ -328,26 +331,34 @@ def _wide_shade_kernel(
 
             def wcond(state):
                 alive = state[0] > 0
-                for sp in state[1:]:
+                for sp in state[1:n_inter]:
                     alive = alive | (sp > 0)
                 return alive
 
             def wbody(state):
-                live = [sp > 0 for sp in state]
-                pops = [jnp.maximum(sp - 1, 0) for sp in state]
+                sps = state[:n_inter]
+                live = [sp > 0 for sp in sps]
+                pops = [jnp.maximum(sp - 1, 0) for sp in sps]
                 nodes = [stacks_ref[i, pops[i]] for i in range(n_inter)]
                 # all mask pipelines issue before any scalar extract
                 rows = [fold(rm[i](nodes[i])) for i in range(n_inter)]
                 ms = [row[0, 0] for row in rows]
-                new = [
+                out = [
                     scalar_phase(i, live[i], pops[i], ms[i], nodes[i],
                                  leaf[i], desc_of(nodes[i], sgn[i]))
                     for i in range(n_inter)
                 ]
-                return tuple(
-                    jnp.where(live[i], new[i], state[i])
+                new_sps = tuple(
+                    jnp.where(live[i], out[i][0], sps[i])
                     for i in range(n_inter)
                 )
+                if not stats:
+                    return new_sps
+                nc, lc = state[n_inter], state[n_inter + 1]
+                for i in range(n_inter):
+                    nc = nc + live[i].astype(jnp.int32)
+                    lc = lc + jnp.where(live[i], out[i][1], 0)
+                return new_sps + (nc, lc)
 
             def wbody_multi(state):
                 """Multi-pop iteration: up to ``multi_pop`` nodes per half
@@ -360,9 +371,10 @@ def _wide_shade_kernel(
                 in the vector domain."""
                 K = multi_pop
                 npk = (K + 3) // 4
-                live = [sp > 0 for sp in state]
+                sps = state[:n_inter]
+                live = [sp > 0 for sp in sps]
                 nodes = [
-                    [stacks_ref[i, jnp.maximum(state[i] - 1 - k, 0)]
+                    [stacks_ref[i, jnp.maximum(sps[i] - 1 - k, 0)]
                      for k in range(K)]
                     for i in range(n_inter)
                 ]
@@ -379,29 +391,38 @@ def _wide_shade_kernel(
                         # branch stalls the issue-ahead pipelining that
                         # multi-pop exists to exploit. The masked-compute
                         # form stays.
-                        mk = jnp.where(state[i] > k, rm[i](nodes[i][k]), 0)
+                        mk = jnp.where(sps[i] > k, rm[i](nodes[i][k]), 0)
                         pks[k // 4] = pks[k // 4] | (mk << (8 * (k % 4)))
                     packs.append(pks)
                 ms = [[fold(pk)[0, 0] for pk in pks] for pks in packs]
-                bases = [jnp.maximum(sp - K, 0) for sp in state]
+                bases = [jnp.maximum(sp - K, 0) for sp in sps]
+                leaf_incs = []
                 # reverse batch order so the nearest popped node's children
                 # land on top of the stack (preserves near-first popping)
                 for k in reversed(range(K)):
                     for i in range(n_inter):
-                        ok = state[i] > k
-                        bases[i] = jnp.where(
-                            ok,
-                            scalar_phase(i, ok, bases[i],
-                                         (ms[i][k // 4] >> (8 * (k % 4)))
-                                         & 255,
-                                         nodes[i][k], leaf[i],
-                                         desc_of(nodes[i][k], sgn[i])),
-                            bases[i],
+                        ok = sps[i] > k
+                        new_sp, lcd = scalar_phase(
+                            i, ok, bases[i],
+                            (ms[i][k // 4] >> (8 * (k % 4))) & 255,
+                            nodes[i][k], leaf[i],
+                            desc_of(nodes[i][k], sgn[i]),
                         )
-                return tuple(
-                    jnp.where(live[i], bases[i], state[i])
+                        bases[i] = jnp.where(ok, new_sp, bases[i])
+                        leaf_incs.append(jnp.where(ok, lcd, 0))
+                new_sps = tuple(
+                    jnp.where(live[i], bases[i], sps[i])
                     for i in range(n_inter)
                 )
+                if not stats:
+                    return new_sps
+                nc, lc = state[n_inter], state[n_inter + 1]
+                for i in range(n_inter):
+                    for k in range(K):
+                        nc = nc + (sps[i] > k).astype(jnp.int32)
+                for lcd in leaf_incs:
+                    lc = lc + lcd
+                return new_sps + (nc, lc)
 
             init = []
             for i in range(n_inter):
@@ -411,14 +432,19 @@ def _wide_shade_kernel(
                 else:
                     live0 = jnp.max(masks[i].astype(jnp.float32)) > 0.0
                     init.append(jnp.where(live0, 1, 0).astype(jnp.int32))
-            jax.lax.while_loop(
+            if stats:
+                init += [jnp.int32(0), jnp.int32(0)]
+            fin = jax.lax.while_loop(
                 wcond, wbody if multi_pop == 1 else wbody_multi, tuple(init)
             )
+            if stats:
+                return fin[n_inter], fin[n_inter + 1]
+            return jnp.int32(0), jnp.int32(0)
 
         if not octant_split:
             # dead lanes are inert via the -INF best_t plane: no per-op
             # masks; per-half liveness comes from the SMEM flags
-            run_pass(
+            nc, lc = run_pass(
                 [None] * n_inter,
                 live_scalars=[(fl[i] >> 3) & 1 for i in range(n_inter)],
             )
@@ -445,12 +471,14 @@ def _wide_shade_kernel(
 
             octs = [octx(i) for i in range(n_inter)]
 
-            def opass(k, _):
-                run_pass([alives[i] & (octs[i] == k)
-                          for i in range(n_inter)])
-                return 0
+            def opass(k, carry):
+                pnc, plc = run_pass([alives[i] & (octs[i] == k)
+                                     for i in range(n_inter)])
+                return carry[0] + pnc, carry[1] + plc
 
-            jax.lax.fori_loop(0, 8, opass, 0)
+            nc, lc = jax.lax.fori_loop(
+                0, 8, opass, (jnp.int32(0), jnp.int32(0))
+            )
 
         # normalize the winning interpolated normal ONCE per block (the
         # leaf phase stores it unnormalized); miss/dead lanes hold zeros,
@@ -468,6 +496,13 @@ def _wide_shade_kernel(
         # dead lanes traversed nothing (best_t was -INF); restore their
         # +INF miss sentinel so consumers see the documented contract
         oblk_ref[0] = jnp.where(rblk_ref[6] > 0.0, oblk_ref[0], inf)
+
+        if stats:
+            # per-PAIR traversal statistics, broadcast to the pair's rays
+            # in two extra output planes (lesson-4 two-step splat)
+            ones_col = jnp.ones((n_inter * S, 1), jnp.float32)
+            oblk_ref[NOUT] = (onesf * nc.astype(jnp.float32)) * ones_col
+            oblk_ref[NOUT + 1] = (onesf * lc.astype(jnp.float32)) * ones_col
 
         copy_out = pltpu.make_async_copy(
             oblk_ref,
@@ -547,7 +582,7 @@ def wide_shade_first_hit(
     jax.jit,
     static_argnames=(
         "interpret", "block_sub", "octant_split", "multi_pop", "n_inter",
-        "ordered",
+        "ordered", "stats",
     ),
 )
 def wide_shade_planes(
@@ -561,6 +596,7 @@ def wide_shade_planes(
     multi_pop: int = 1,
     n_inter: int = 2,
     ordered: bool = True,
+    stats: bool = False,
 ):
     """SoA entry: flat (R,) ray components in, flat (R,) planes out as
     dict(t, id (i32), nx, ny, nz, mat (i32)). Never builds an (R, 3)
@@ -616,12 +652,13 @@ def wide_shade_planes(
         | (live_h << 3)
     )
 
+    nout = NOUT + (2 if stats else 0)
     neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
     sentinel = jnp.concatenate(
         [
             jnp.full((1, rows, BLOCK_LANE), _INF, jnp.float32),
             jnp.broadcast_to(neg1, (1, rows, BLOCK_LANE)),
-            jnp.zeros((NOUT - 2, rows, BLOCK_LANE), jnp.float32),
+            jnp.zeros((nout - 2, rows, BLOCK_LANE), jnp.float32),
         ]
     )
 
@@ -647,6 +684,7 @@ def wide_shade_planes(
             multi_pop=multi_pop,
             n_inter=n_inter,
             ordered=ordered,
+            stats=stats,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -658,11 +696,11 @@ def wide_shade_planes(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((NOUT, rows, BLOCK_LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nout, rows, BLOCK_LANE), jnp.float32),
         input_output_aliases={6: 0},
         scratch_shapes=[
             pltpu.VMEM((7, n_inter * block_sub, BLOCK_LANE), jnp.float32),
-            pltpu.VMEM((NOUT, n_inter * block_sub, BLOCK_LANE), jnp.float32),
+            pltpu.VMEM((nout, n_inter * block_sub, BLOCK_LANE), jnp.float32),
             pltpu.SMEM((n_inter, stack_cap), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -679,7 +717,7 @@ def wide_shade_planes(
     def flat(k):
         return out[k].reshape(-1)[:n]
 
-    return {
+    res = {
         "t": flat(0),
         "id": jax.lax.bitcast_convert_type(out[1], jnp.int32).reshape(-1)[:n],
         "nx": flat(2),
@@ -688,3 +726,9 @@ def wide_shade_planes(
         # material ids are small ints stored exactly in f32
         "mat": flat(5).astype(jnp.int32),
     }
+    if stats:
+        # per-PAIR traversal statistics (node pops / leaf visits),
+        # replicated to every ray of the pair
+        res["node_visits"] = flat(NOUT).astype(jnp.int32)
+        res["leaf_visits"] = flat(NOUT + 1).astype(jnp.int32)
+    return res

@@ -328,3 +328,31 @@ def test_fused_shaded_nee_matches_standard():
     np.testing.assert_allclose(
         np.asarray(f_fused), np.asarray(f_std), atol=5e-5
     )
+
+
+def test_wide_shade_stats_mode():
+    # stats=True must leave all hit outputs bit-identical and report
+    # positive per-pair traversal counters (round-4 instrumentation)
+    from atray_tpu.accel.shaded import build_shaded_accel
+    from atray_tpu.core.camera import camera_rays
+    from atray_tpu.kernels.wide_shade import wide_shade_planes
+
+    mats = make_materials([((0.3, 0.4, 0.6), (0, 0, 0), 0.0),
+                           ((0, 0, 0), (0.7, 0.5, 0.3), 0.1)])
+    mesh = translate(
+        procedural.uv_sphere(rows=12, cols=12, material=1, smooth=True),
+        (0, 0, -4),
+    )
+    scene = build_scene([mesh], materials=mats)
+    accel = build_shaded_accel(scene, KDTreeConfig(leaf_size=8))
+    cam = look_at_camera((0, 0.4, 0.6), (0, 0, -4), h_fov=0.9, aspect=1.0)
+    orig, dirn = camera_rays(cam, 32, 32, spp=1)
+    al = jnp.ones((orig.shape[0],), jnp.float32)
+    args = (accel, orig[:, 0], orig[:, 1], orig[:, 2],
+            dirn[:, 0], dirn[:, 1], dirn[:, 2], al)
+    base = wide_shade_planes(*args, interpret=True, multi_pop=4)
+    st = wide_shade_planes(*args, interpret=True, multi_pop=4, stats=True)
+    for k in ("t", "id", "nx", "ny", "nz", "mat"):
+        np.testing.assert_array_equal(np.asarray(base[k]), np.asarray(st[k]))
+    assert int(np.asarray(st["node_visits"]).max()) > 0
+    assert int(np.asarray(st["leaf_visits"]).max()) > 0
