@@ -629,14 +629,36 @@ def draw_bounce_uniforms(
 BOUNCE_MULTI_POP = int(_os.environ.get("ATRAY_BOUNCE_MP", "4"))
 # independent interleaved walks per kernel program iteration. 2 was the
 # pre-slim optimum; with the round-4 slim kernel (6 output planes, so
-# ~half the VMEM residency per walk) three interleaved walks consistently
-# measure 0.7-1.9% faster across three independent film-based A/Bs
-# (probe_r31 + probe_frame x2); 4 still collapses.
+# ~half the VMEM residency per walk) n_inter=3 measured NEUTRAL TO
+# SLIGHTLY POSITIVE — a tie within noise on the b1 walk sweep (probe_r31:
+# 537.4 vs 541.0 ms) and neutral on the frame-level film A/Bs
+# (docs/KERNELS.md round 4, the authoritative record). It is kept as the
+# default for its lower per-walk VMEM residency, not for a measured win;
+# 4 collapses (probe_r31: 1593 ms).
 N_INTER = int(_os.environ.get("ATRAY_N_INTER", "3"))
 
 
 _LANE_WCAP = 64                  # pack band: occupancy >= 1/63 ~= 1.6%
 _LANE_OCC_MARGIN = 0.02          # identity fallback below this
+
+
+def _gid_planes(gid):
+    """Split an i32 global ray id into two f32-EXACT routing planes
+    (hi = id >> 12, lo = id & 0xFFF). f32 carries integers exactly only
+    up to 2^24, but gids are GLOBAL across chunks — a 1080p frame at
+    16 spp in one pass already issues ids ~33M, where a single f32 plane
+    would collapse up to 4 adjacent ids onto one value, colliding their
+    per-ray RNG streams and corrupting the explicit-uniforms index path.
+    Both halves stay < 2^19, exact under the one-hot f32 routing."""
+    g = gid.astype(jnp.int32)
+    hi = (g >> 12).astype(jnp.float32)
+    lo = (g & 0xFFF).astype(jnp.float32)
+    return hi, lo
+
+
+def _gid_join(hi, lo):
+    """Inverse of ``_gid_planes`` after routing."""
+    return (hi.astype(jnp.int32) << 12) | lo.astype(jnp.int32)
 
 
 def _lane_pack_state(state):
@@ -669,14 +691,19 @@ def _lane_pack_state(state):
     def pl_(x):
         return x.astype(jnp.float32).reshape(rows, 128)
 
-    cols = jnp.stack([pl_(x) for x in state[:14]])  # (14, rows, 128)
+    # gid rides as TWO exact half-planes (ADVICE r4: one f32 plane is
+    # only exact to 2^24 while gids are global across chunks)
+    ghi, glo = _gid_planes(gid)
+    cols = jnp.stack(
+        [pl_(x) for x in state[:13]] + [pl_(ghi), pl_(glo)]
+    )  # (15, rows, 128)
     pk = lane_take_p(cols, pidx, _LANE_WCAP)
 
     def f(k):
         return pk[k].reshape(-1)
 
     alive2 = f(12) > 0.5
-    gid2 = f(13).astype(jnp.int32)
+    gid2 = _gid_join(f(13), f(14))
     # the packed tail is zeros — re-park dead lanes (same convention as
     # the bounce step: far origin, +z, so they stay inert and their junk
     # never reaches normalize/rsqrt in reverse mode)
@@ -817,7 +844,10 @@ def _octant_regroup(state):
     def pl_(x):
         return x.astype(jnp.float32).reshape(rows, 128)
 
-    cols = jnp.stack([pl_(x) for x in state[:14]])    # (14, rows, 128)
+    ghi, glo = _gid_planes(state[13])
+    cols = jnp.stack(
+        [pl_(x) for x in state[:13]] + [pl_(ghi), pl_(glo)]
+    )  # (15, rows, 128)
     # window: sources live within one 64-row neighborhood; wcap=68 covers
     # the floored anchor plus quad rounding
     pk = lane_scatter_p(cols, dst, _nb_wcap(rows), _NB_ROWS)
@@ -826,7 +856,7 @@ def _octant_regroup(state):
         return pk[k].reshape(-1)
 
     alive2 = f(12) > 0.5
-    gid2 = f(13).astype(jnp.int32)
+    gid2 = _gid_join(f(13), f(14))
     ox2 = jnp.where(alive2, f(0), 1.0e7)
     oy2 = jnp.where(alive2, f(1), 1.0e7)
     oz2 = jnp.where(alive2, f(2), 1.0e7)
@@ -1269,12 +1299,13 @@ def trace_radiance(
         # kernel needs occupancy >= ~1/(wcap-1); below the margin (or for
         # tiny/huge wavefronts) the index arrays become the identity and
         # the pack is a copy — legality by construction, no cond.
+        # (global ray ids ride the pack as two exact f32 half-planes —
+        # see _gid_planes — so no 2^24 cap on the id VALUES applies here)
         if (
             lane_pack
             and hit_override is None
             and n % lane == 0
             and n // lane >= 64
-            and n < 2 ** 24          # ids ride f32 planes exactly
         ):
             state_r, lane_restore = _lane_pack_state(state_r)
             row_restore = restore
@@ -1510,18 +1541,19 @@ def trace_radiance(
             dst_p, alive3 = _class_rank_dst(
                 octd, 8, _NB_ROWS * 128, alive=alive_new
             )
+            ghi, glo = _gid_planes(gid2)
             cols = jnp.stack([
                 pl_(ox2), pl_(oy2), pl_(oz2), pl_(dx2), pl_(dy2),
-                pl_(dz2), pl_(wr2), pl_(wg2), pl_(wb2), pl_(gid2),
-                pl_(p0),
-            ])                                    # (11, rows, 128)
+                pl_(dz2), pl_(wr2), pl_(wg2), pl_(wb2), pl_(ghi),
+                pl_(glo), pl_(p0),
+            ])                                    # (12, rows, 128)
             pk = lane_scatter_p(cols, dst_p, _nb_wcap(rows), _NB_ROWS)
 
             def f(k):
                 return pk[k].reshape(-1)
 
-            gid3 = f(9).astype(jnp.int32)
-            p03 = f(10).astype(jnp.int32)
+            gid3 = _gid_join(f(9), f(10))
+            p03 = f(11).astype(jnp.int32)
             # scatter leaves untargeted lanes zero — re-park dead lanes
             # (bounce-step convention: far origin, +z)
             ox3 = jnp.where(alive3, f(0), 1.0e7)
@@ -1563,6 +1595,8 @@ def trace_radiance(
         and hit_override is None
         and r % 128 == 0
         and r // 128 >= 64
+        # chunk-LOCAL positions (repack_scan's p0) ride single f32
+        # planes; global gids are split-routed and need no cap
         and r < 2 ** 24
         and _stream_slab_rows(r // 128, _LANE_WCAP) != 0
     )

@@ -276,3 +276,27 @@ def test_lane_packed_grads_match_unpacked():
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
         )
     assert float(jnp.max(jnp.abs(g1.albedo))) > 1e-4
+
+
+def test_lane_pack_gid_exact_beyond_f32_int_range():
+    # ADVICE r4 (medium): global ray ids used to ride the pack as ONE f32
+    # plane — exact only to 2^24, while frame-global ids reach ~33M+ at
+    # 1080p x 16spp. They now route as two exact half-planes
+    # (_gid_planes/_gid_join); this pins the round-trip at large ids.
+    from atray_tpu.render.wavefront import _lane_pack_state
+
+    n = 64 * 128 * 2
+    rng = np.random.default_rng(0)
+    alive = jnp.asarray(rng.random(n) < 0.4)
+    base = 2 ** 25 + 3            # far beyond f32 integer exactness
+    gid = jnp.arange(base, base + n, dtype=jnp.int32)
+    f = jnp.zeros((n,), jnp.float32)
+    state = (f, f, f, f, f, jnp.ones((n,)), f, f, f, f, f, f,
+             alive, gid, jnp.float32(0.0))
+    packed, _ = _lane_pack_state(state)
+    got = np.asarray(packed[13])[np.asarray(packed[12])]
+    want = np.asarray(gid)[np.asarray(alive)]
+    np.testing.assert_array_equal(np.sort(got), np.sort(want))
+    # adjacent large ids must stay DISTINCT (the old single-plane route
+    # collapsed groups of up to 4 here)
+    assert len(np.unique(got)) == len(got)

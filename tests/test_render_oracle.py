@@ -145,13 +145,20 @@ def test_nee_matches_oracle():
     film_ref = oracle.render_film(
         scene, orig, dirn, bounces, np.asarray(uni), spp, h, w, nee=True
     )
-    # atol covers DISCRETE boundary flips (occlusion t < dist-eps, light
-    # pick) where the oracle's numpy math promotes to f64 and rounds the
-    # opposite way from the device's f32 — a handful of pixels of a
-    # single spp-averaged direct-light term, not a systematic error
-    # (round 4: the murmur-hash uniform stream landed 3/2304 pixels on
-    # such boundaries; the old threefry stream happened to land none)
-    np.testing.assert_allclose(np.asarray(film_dev), film_ref, atol=1e-3)
+    # Tight tolerance with a small OUTLIER ALLOWANCE (ADVICE r4): discrete
+    # boundary flips (occlusion t < dist-eps, light pick) where the
+    # oracle's numpy math promotes to f64 and rounds the opposite way from
+    # the device's f32 flip a handful of pixels by up to a single
+    # spp-averaged direct-light term (round 4: 3/2304 pixels with the
+    # murmur-hash stream). A loosened global atol would also have admitted
+    # a SYSTEMATIC ~5e-4 shading error anywhere in the film; counting
+    # outliers keeps boundary flips passing while drift still fails.
+    diff = np.abs(np.asarray(film_dev) - film_ref)
+    assert (diff > 2e-4).sum() <= 3 * 5, (
+        f"{(diff > 2e-4).sum()} channel values beyond atol=2e-4 "
+        f"(max |diff| = {diff.max():.3e})"
+    )
+    assert diff.max() <= 1e-2
 
 
 def test_nee_reduces_variance_of_small_light():
