@@ -462,15 +462,23 @@ def make_fused_hit_shade(
     use the unshaded WideBVH path (ids + differentiable resolve) or rebuild
     the shaded accel per step.
 
-    Returns fused(scene, ox, oy, oz, dx, dy, dz, alive_f) ->
+    Returns fused(scene, face_table, ox, oy, oz, dx, dy, dz, alive_f) ->
         (t, nx, ny, nz, em_r, em_g, em_b, al_r, al_g, al_b, scatter,
          face_id) — all flat (R,) planes (SoA; see the plane-major note
     at the top of this module).
+
+    ``face_table`` is the (T, 20) packed table from ``build_face_table``,
+    built ONCE per trace and passed in as a differentiable input (round
+    5): the VJP replay previously rebuilt it from the scene per bounce
+    per chunk — T gathers + cross + normalize AND their transposes
+    (scatter-adds into vertices/normals) at every reverse step. With the
+    table as an input, its cotangent accumulates across the scan and the
+    build's VJP runs once per trace.
     """
     from atray_tpu.kernels.wide_shade import wide_shade_planes
 
     @jax.custom_vjp
-    def fused(scene, ox, oy, oz, dx, dy, dz, alive_f):
+    def fused(scene, face_table, ox, oy, oz, dx, dy, dz, alive_f):
         sg = jax.lax.stop_gradient
         fo = wide_shade_planes(
             accel,
@@ -487,60 +495,75 @@ def make_fused_hit_shade(
         mats = resolve_material_comps(scene, fo["mat"], hit)
         return (fo["t"], fo["nx"], fo["ny"], fo["nz"], *mats, fo["id"])
 
-    def fwd(scene, ox, oy, oz, dx, dy, dz, alive_f):
-        out = fused(scene, ox, oy, oz, dx, dy, dz, alive_f)
-        return out, (scene, ox, oy, oz, dx, dy, dz, alive_f, out[-1])
+    def fwd(scene, face_table, ox, oy, oz, dx, dy, dz, alive_f):
+        out = fused(scene, face_table, ox, oy, oz, dx, dy, dz, alive_f)
+        # Name the outputs HERE, inside the vjp fwd rule, and build the
+        # residual from the NAMED value: the round-3 wiring named them in
+        # the caller (_hit_inputs), so the residual tuple held the
+        # pre-name kernel output — the remat policy saved the named copy
+        # but the checkpointed scan body still had to RE-RUN the
+        # traversal kernel in reverse to rebuild the residual (round-5
+        # device profile: every scanned bounce's kernel appeared twice,
+        # ~400 ms of the 1.3 s backward at the bench config).
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = tuple(checkpoint_name(x, "hit_shade") for x in out)
+        return out, (scene, face_table, ox, oy, oz, dx, dy, dz, alive_f,
+                     out[-1])
 
     def bwd(res, cts):
-        scene, ox, oy, oz, dx, dy, dz, alive_f, fid = res
-        (ct_t, ct_nx, ct_ny, ct_nz, ct_emr, ct_emg, ct_emb,
-         ct_alr, ct_alg, ct_alb, ct_sc, _ct_fid) = cts
+        (scene, face_table, ox, oy, oz, dx, dy, dz, alive_f, fid) = res
         hit = fid >= 0
         nf = scene.mesh.num_faces
+        fid_c = jnp.clip(fid, 0, nf - 1)
 
-        def replay(scene_, o_, d_):
-            # (R, 3) math is fine HERE: the replay exists only under grad
-            ft = build_face_table(scene_)
-            row = ft[jnp.clip(fid, 0, nf - 1)]
-            tt, u, vv, _ = moller_trumbore(
-                o_, d_, row[:, 0:3], row[:, 3:6], row[:, 6:9]
-            )
-            w0 = (1.0 - u - vv)[:, None]
-            n = normalize(
-                w0 * row[:, 9:12] + u[:, None] * row[:, 12:15]
-                + vv[:, None] * row[:, 15:18]
-            )
+        def replay(scene_, ft_, oxx, oyy, ozz, dxx, dyy, dzz):
+            # SoA path replay (round 5): every quantity a flat (R,)
+            # plane — the old (R, 3) replay paid the same mixed-layout
+            # relayout tax in REVERSE mode that the round-4 SoA refactor
+            # removed from the forward. Math matches the kernel's
+            # Möller–Trumbore + interpolated-normal ops exactly.
+            row = ft_[fid_c]                            # one (R, 20) gather
+            p0x, p0y, p0z = row[:, 0], row[:, 1], row[:, 2]
+            e1x, e1y, e1z = row[:, 3], row[:, 4], row[:, 5]
+            e2x, e2y, e2z = row[:, 6], row[:, 7], row[:, 8]
+            pvx = dyy * e2z - dzz * e2y
+            pvy = dzz * e2x - dxx * e2z
+            pvz = dxx * e2y - dyy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            ok = jnp.abs(det) > 1.0e-12
+            inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            tvx = oxx - p0x
+            tvy = oyy - p0y
+            tvz = ozz - p0z
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            vv = (dxx * qvx + dyy * qvy + dzz * qvz) * inv_det
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            w0 = 1.0 - uu - vv
+            nx = w0 * row[:, 9] + uu * row[:, 12] + vv * row[:, 15]
+            ny = w0 * row[:, 10] + uu * row[:, 13] + vv * row[:, 16]
+            nz = w0 * row[:, 11] + uu * row[:, 14] + vv * row[:, 17]
+            nx, ny, nz = _norm3(nx, ny, nz)
             mat = jax.lax.stop_gradient(row[:, 18]).astype(jnp.int32)
-            em = scene_.materials.emission[mat]
-            al = scene_.materials.albedo[mat]
-            sc = scene_.materials.scatter[mat]
-            h1 = hit[:, None]
+            mats = resolve_material_comps(scene_, mat, hit)
             return (
                 jnp.where(hit, tt, 0.0),
-                jnp.where(h1, n, 0.0),
-                jnp.where(h1, em, 0.0),
-                jnp.where(h1, al, 0.0),
-                jnp.where(hit, sc, 0.0),
+                jnp.where(hit, nx, 0.0),
+                jnp.where(hit, ny, 0.0),
+                jnp.where(hit, nz, 0.0),
+                *mats,
             )
 
         # Zero the miss-lane cotangents (their primal values are kernel
         # sentinels — INF t, zeros — with no parameter dependence).
-        h1 = hit[:, None]
-        cot = (
-            jnp.where(hit, ct_t, 0.0),
-            jnp.where(h1, jnp.stack([ct_nx, ct_ny, ct_nz], axis=1), 0.0),
-            jnp.where(h1, jnp.stack([ct_emr, ct_emg, ct_emb], axis=1), 0.0),
-            jnp.where(h1, jnp.stack([ct_alr, ct_alg, ct_alb], axis=1), 0.0),
-            jnp.where(hit, ct_sc, 0.0),
-        )
-        o3 = jnp.stack([ox, oy, oz], axis=1)
-        d3 = jnp.stack([dx, dy, dz], axis=1)
-        _, vjp_fn = jax.vjp(replay, scene, o3, d3)
-        g_scene, g_o, g_d = vjp_fn(cot)
-        return (
-            g_scene, g_o[:, 0], g_o[:, 1], g_o[:, 2],
-            g_d[:, 0], g_d[:, 1], g_d[:, 2], jnp.zeros_like(alive_f),
-        )
+        cot = tuple(jnp.where(hit, c, 0.0) for c in cts[:-1])
+        _, vjp_fn = jax.vjp(replay, scene, face_table,
+                            ox, oy, oz, dx, dy, dz)
+        g = vjp_fn(cot)
+        return (*g, jnp.zeros_like(alive_f))
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -1043,17 +1066,15 @@ def trace_radiance(
                 n[:, 0], n[:, 1], n[:, 2], hit, *mats,
             )
         if isinstance(accel_, ShadedWideBVH):
-            out = _fused_for(accel_, split, mp)(
-                scene, ox, oy, oz, dx, dy, dz, alive.astype(jnp.float32)
-            )
-            # name the kernel outputs so the remat policy SAVES them:
+            # the fused custom_vjp names its outputs "hit_shade" inside
+            # its fwd rule (see make_fused_hit_shade): the remat policy
+            # saves them AND the residuals alias the named values, so
             # the backward replays the bounce body's cheap elementwise
             # math but never re-runs the traversal kernel (path replay
             # with saved hit records, SURVEY.md §7 arch item 6)
-            from jax.ad_checkpoint import checkpoint_name
-
-            out = jax.tree_util.tree_map(
-                lambda x: checkpoint_name(x, "hit_shade"), out
+            out = _fused_for(accel_, split, mp)(
+                scene, face_table, ox, oy, oz, dx, dy, dz,
+                alive.astype(jnp.float32)
             )
             (t, nx, ny, nz, emr, emg, emb, alr, alg, alb, scat, fid) = out
             hit = fid >= 0

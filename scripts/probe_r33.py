@@ -191,23 +191,35 @@ def candidate_stats(accel, o, d, alive, leaves_per_treelet, sample_n=3000):
     return T, n_cand, n_walked
 
 
-def timed_chain(fn, arg, iters=8, reps=3):
+def timed_chain(fn, arg, iters=8, reps=3, floor_ms=0.0):
     """Amortized on-device timing: fn applied ``iters`` times inside one
-    jit with a data dependence; full result device_get'd."""
+    jit with a data dependence. The multi-MB on-device result is synced
+    with block_until_ready (large outputs are not async-acked by the
+    relay); do NOT device_get — d2h over the tunnel costs ~100+ ms per
+    17 MB array and would dominate (the round-1 version of this probe
+    made exactly that mistake). Subtract the trivial-chain floor."""
     @jax.jit
-    def chain(x):
+    def chain(x, salt):
+        # per-call salt: the relay caches repeat dispatches with
+        # IDENTICAL arguments — every timed call must be unique
         def body(i, x):
-            return fn(x, i)
+            return fn(x, i + salt)
         return jax.lax.fori_loop(0, iters, body, x)
 
-    r = chain(arg)
-    jax.block_until_ready(r)
+    def sync_run(salt):
+        # a tiny d2h READ of the result is the only reliable sync here:
+        # block_until_ready can return before the device ran anything
+        # (relay async-ack), but a fetched VALUE must be real
+        r = chain(arg, jnp.int32(salt))
+        return np.asarray(jax.device_get(r[:8]))
+
+    sync_run(12345)
     best = 1e30
-    for _ in range(reps):
+    for rep in range(reps):
         t0 = time.perf_counter()
-        np.asarray(jax.device_get(chain(arg)))
+        sync_run(rep)
         best = min(best, time.perf_counter() - t0)
-    return best / iters * 1000.0
+    return max(best * 1000.0 - floor_ms, 0.0) / iters
 
 
 def routing_costs():
@@ -216,18 +228,30 @@ def routing_costs():
                                   dtype=jnp.int32)
         vals = jax.random.normal(jax.random.PRNGKey(2), (n,), jnp.float32)
         perm = jax.random.permutation(jax.random.PRNGKey(3), n)
+        # sort permutation of a REAL grouping key (543 bins over a
+        # spatially coherent-ish source) — the gather locality the pair
+        # binning actually sees, vs the fully random worst case
+        gperm = jnp.argsort(keys, stable=True)
 
+        floor = timed_chain(lambda x, i: x ^ i, keys) * 8.0
+        print(f"  trivial chain floor n={n/1e6:.1f}M: {floor:7.1f} ms "
+              f"(subtracted below)")
         ms = timed_chain(
-            lambda x, i: jnp.argsort(x ^ i, stable=True) ^ i, keys)
+            lambda x, i: jnp.argsort(x ^ i, stable=True) ^ i, keys,
+            floor_ms=floor)
         print(f"  argsort i32 stable  n={n/1e6:.1f}M: {ms:7.1f} ms")
         ms = timed_chain(
-            lambda x, i: x[(perm + i) % n], vals)
-        print(f"  gather f32 1 plane  n={n/1e6:.1f}M: {ms:7.1f} ms")
+            lambda x, i: x[perm] + i, vals, floor_ms=floor)
+        print(f"  gather random perm  n={n/1e6:.1f}M: {ms:7.1f} ms")
         ms = timed_chain(
-            lambda x, i: jnp.zeros((n,), jnp.int32).at[(perm + i) % n].set(
-                x), jnp.arange(n, dtype=jnp.int32))
+            lambda x, i: x[gperm] + i, vals, floor_ms=floor)
+        print(f"  gather binned perm  n={n/1e6:.1f}M: {ms:7.1f} ms")
+        ms = timed_chain(
+            lambda x, i: jnp.zeros((n,), jnp.int32).at[perm].set(x) ^ i,
+            jnp.arange(n, dtype=jnp.int32), floor_ms=floor)
         print(f"  scatter-iota inv    n={n/1e6:.1f}M: {ms:7.1f} ms")
-        ms = timed_chain(lambda x, i: jnp.cumsum(x ^ i) ^ i, keys)
+        ms = timed_chain(lambda x, i: jnp.cumsum(x ^ i) ^ i, keys,
+                         floor_ms=floor)
         print(f"  cumsum i32          n={n/1e6:.1f}M: {ms:7.1f} ms",
               flush=True)
 
@@ -260,3 +284,105 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def row_gather_costs():
+    """Row-gather economics: one (n, W) contiguous-row gather vs W
+    per-plane gathers, plus the SoA->AoS pack needed to use it."""
+    n = 4_153_600
+    perm = jax.random.permutation(jax.random.PRNGKey(3), n)
+    keys = jax.random.randint(jax.random.PRNGKey(1), (n,), 0, 543,
+                              dtype=jnp.int32)
+    floor = timed_chain(lambda x, i: x ^ i, keys) * 8.0
+    print(f"  floor: {floor:.1f} ms")
+    for w in (4, 8, 16, 32):
+        tab = jax.random.normal(jax.random.PRNGKey(2), (n, w), jnp.float32)
+        ms = timed_chain(lambda x, i: x[perm] + jnp.float32(0) * i, tab,
+                         floor_ms=floor)
+        print(f"  row gather (n,{w:2d}) by random perm: {ms:7.1f} ms "
+              f"({ms/w:.2f} ms/plane-equiv)", flush=True)
+    planes = jax.random.normal(jax.random.PRNGKey(2), (8, n), jnp.float32)
+
+    def pack_unpack(x, i):
+        aos = jnp.stack([x[k] + i for k in range(8)], axis=1)   # (n, 8)
+        return aos.T                                            # back SoA
+    ms = timed_chain(pack_unpack, planes, floor_ms=floor)
+    print(f"  SoA->AoS(8)->SoA round trip: {ms:7.1f} ms")
+
+    f64v = jax.lax.bitcast_convert_type(
+        jax.random.normal(jax.random.PRNGKey(2), (n, 2), jnp.float32),
+        jnp.float64).reshape(n)
+
+    ms = timed_chain(lambda x, i: x[perm], f64v, floor_ms=floor)
+    print(f"  gather f64 (2 packed planes):{ms:7.1f} ms", flush=True)
+
+
+def block_range_sim(accel, o, d, alive, leaves_per_treelet, K=2):
+    """Simulate the pair-binning routing variants and report per-block
+    treelet-STREAM counts (the Phase B cost driver).
+
+    Pairs live k-major (slot k*R + i). Variants:
+      none     — no routing at all (blocks = 1024 consecutive slots)
+      row      — rows of 128 slots reordered by row-min tid (cheap row
+                 gather application, the compact_state machinery)
+      nb+row   — 64-row-neighborhood lane sort by tid (banded kernel),
+                 THEN global row reorder
+      full     — per-pair global sort (expensive application; the bound)
+    Phase B streams each 8-row block's CONTIGUOUS tid range [min, max].
+    """
+    lo, hi = treelet_boxes_np(accel, leaves_per_treelet)
+    T = lo.shape[0]
+    R = o.shape[0]
+    BIG = np.int32(T + 1)
+    tid_k = np.full((K, R), BIG, np.int32)
+    chunk = 131072
+    for c0 in range(0, R, chunk):
+        c1 = min(c0 + chunk, R)
+        oo = o[c0:c1]
+        dd = d[c0:c1]
+        inv = np.where(dd == 0, 1e30, 1.0 / np.where(dd == 0, 1.0, dd))
+        t0 = (lo[None] - oo[:, None]) * inv[:, None]
+        t1 = (hi[None] - oo[:, None]) * inv[:, None]
+        tn = np.minimum(t0, t1).max(axis=2)
+        tf = np.maximum(t0, t1).min(axis=2)
+        hit = (tn <= tf) & (tf > 0) & alive[c0:c1, None]
+        te = np.where(hit, np.maximum(tn, 0.0), np.inf)
+        part = np.argsort(te, axis=1)[:, :K]          # K nearest
+        pe = np.take_along_axis(te, part, axis=1)
+        tid_k[:, c0:c1] = np.where(np.isfinite(pe), part, BIG).T
+    pair_tid = tid_k.reshape(-1)                      # (K*R,) k-major
+    live_pairs = int((pair_tid <= T).sum())
+    print(f"    live pairs {live_pairs/1e6:.2f}M of {K*R/1e6:.1f}M slots")
+
+    def block_streams(tids):
+        b = tids.reshape(-1, 1024)
+        valid = b <= T
+        anylive = valid.any(axis=1)
+        bmin = np.where(anylive, np.where(valid, b, BIG).min(axis=1), 0)
+        bmax = np.where(anylive, np.where(valid, b, -1).max(axis=1), -1)
+        streams = np.maximum(bmax - bmin + 1, 0)
+        return streams.sum(), anylive.sum(), np.percentile(
+            streams[anylive], [50, 90, 99])
+
+    def report(name, tids):
+        s, nb_, pct = block_streams(tids)
+        # 256-tri treelet stream ~= 5.6 us/block (VPU arithmetic bound)
+        us = 5.6 * (leaves_per_treelet * 16 / 256.0)
+        print(f"    {name:7s}: {int(s):7d} streams over {int(nb_):5d} "
+              f"live blocks (p50/p90/p99 {pct[0]:.0f}/{pct[1]:.0f}/"
+              f"{pct[2]:.0f})  -> ~{s*us/1000:.0f} ms phase B")
+
+    report("none", pair_tid)
+
+    rows = pair_tid.reshape(-1, 128)
+    rmin = np.where(rows <= T, rows, BIG).min(axis=1)
+    rperm = np.argsort(rmin, kind="stable")
+    report("row", rows[rperm].reshape(-1))
+
+    nb = 64 * 128
+    nb_sorted = np.sort(pair_tid.reshape(-1, nb), axis=1).reshape(-1)
+    rows2 = nb_sorted.reshape(-1, 128)
+    rmin2 = np.where(rows2 <= T, rows2, BIG).min(axis=1)
+    report("nb+row", rows2[np.argsort(rmin2, kind="stable")].reshape(-1))
+
+    report("full", np.sort(pair_tid))
