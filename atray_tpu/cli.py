@@ -309,10 +309,35 @@ def cmd_render(args) -> int:
             )
     else:
         key = jax.random.PRNGKey(args.seed)
+        # IN-FLIGHT progress within the single frame dispatch: a device
+        # callback ticks once per ray chunk (the headless analog of the
+        # reference's tiles-done title counter updating DURING the
+        # render, app.cpp:174-181); chunked single-device renders only
+        # (under shard_map the callback would fire per shard).
+        n_chunks = (
+            -(-settings.width * settings.height
+              * settings.samples_per_pixel // settings.ray_chunk)
+            if settings.ray_chunk else 1
+        )
+        done = [0]
+
+        def _tick(live):
+            done[0] += 1
+            print(f"  chunk {done[0]}/{n_chunks}: "
+                  f"{float(live)/1e6:.2f}M live rays traced",
+                  file=sys.stderr, flush=True)
+
+        # the axon dev tunnel lacks host send/recv callback support
+        # ("axon_pjrt does not support host send/recv callbacks");
+        # standard TPU/CPU runtimes stream the ticks. Progressive mode's
+        # per-batch preview is the in-flight signal everywhere.
+        cb_ok = jax.default_backend() in ("cpu", "tpu")
+        cb = _tick if (dmesh is None and n_chunks > 1 and cb_ok) else None
         with Phase("compile"):
             jrender = jax.jit(
                 lambda k: render(
-                    scene, camera, settings, k, accel=accel, mesh=dmesh
+                    scene, camera, settings, k, accel=accel, mesh=dmesh,
+                    progress_cb=cb,
                 )
             )
             jrender.lower(key).compile()

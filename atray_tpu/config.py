@@ -50,6 +50,12 @@ class RenderSettings:
     sort_bounces: bool = True
     nee: bool = False
     lane_pack: bool = True
+    # pair_bounces: route incoherent (non-primary) bounces through the
+    # two-phase (ray, treelet) pair-binned traversal
+    # (kernels/treelet_pairs.py) instead of the block-synchronous walk.
+    # Film-equivalent (exact nearest hit; equal-t ties may pick a
+    # different coincident winner with identical normal/material).
+    pair_bounces: bool = False
 
     @property
     def width(self) -> int:
@@ -73,6 +79,11 @@ class KDTreeConfig:
     leaf_size: int = 4
     sah_bins: int = 16
     max_depth: int = 40
+    # Treelet granularity for the pair-binned traversal (round 5):
+    # consecutive windows of this many leaves form one treelet (a dense
+    # record range with a precomputed AABB). 16 leaves x leaf 16 = 256
+    # triangles per treelet — the measured sweet spot (probe_r33).
+    leaves_per_treelet: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,11 +62,22 @@ def make_loss_and_grad(
             scene = scene_template.with_params(p)
             accel_ = accel
             if refit and accel is not None:
-                from atray_tpu.accel.wide import refit_wide
-
-                accel_ = refit_wide(
-                    accel, scene.mesh.vertices, scene.mesh.faces
+                from atray_tpu.accel.shaded import (
+                    ShadedWideBVH,
+                    refit_shaded,
                 )
+
+                if isinstance(accel, ShadedWideBVH):
+                    # round 5: the PRODUCTION fused accel refits too —
+                    # records, treelet boxes and node boxes recomputed
+                    # on-device from the live scene
+                    accel_ = refit_shaded(accel, scene)
+                else:
+                    from atray_tpu.accel.wide import refit_wide
+
+                    accel_ = refit_wide(
+                        accel, scene.mesh.vertices, scene.mesh.faces
+                    )
             color = trace_radiance(
                 scene, orig, dirn, bounce_limit, key=key, accel=accel_,
                 ray_ids=gids,

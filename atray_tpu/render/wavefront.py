@@ -445,7 +445,8 @@ def resolve_material_rows(scene, mat: jnp.ndarray, hit: jnp.ndarray):
 
 
 def make_fused_hit_shade(
-    accel, interpret: bool, octant_split: bool = False, multi_pop: int = 1
+    accel, interpret: bool, octant_split: bool = False, multi_pop: int = 1,
+    pair: bool = False,
 ) -> Callable:
     """Build the fused hit+shade primitive for a ShadedWideBVH: a
     ``jax.custom_vjp`` whose FORWARD is the gather-free Pallas kernel
@@ -480,14 +481,30 @@ def make_fused_hit_shade(
     @jax.custom_vjp
     def fused(scene, face_table, ox, oy, oz, dx, dy, dz, alive_f):
         sg = jax.lax.stop_gradient
-        fo = wide_shade_planes(
-            accel,
-            sg(ox), sg(oy), sg(oz), sg(dx), sg(dy), sg(dz), sg(alive_f),
-            interpret=interpret,
-            octant_split=octant_split,
-            multi_pop=multi_pop,
-            n_inter=N_INTER,
-        )
+        if pair:
+            # two-phase pair-binned traversal (round 5): per-ray
+            # front-to-back early exit instead of the block-synchronous
+            # union walk; exact, same output contract
+            from atray_tpu.kernels.treelet_pairs import treelet_pair_hit
+
+            fo, _ = treelet_pair_hit(
+                accel,
+                sg(ox), sg(oy), sg(oz), sg(dx), sg(dy), sg(dz),
+                sg(alive_f),
+                k_slots=PAIR_K, cap_frac=PAIR_CAP,
+                interpret=interpret,
+                n_inter=N_INTER, multi_pop=multi_pop,
+            )
+        else:
+            fo = wide_shade_planes(
+                accel,
+                sg(ox), sg(oy), sg(oz), sg(dx), sg(dy), sg(dz),
+                sg(alive_f),
+                interpret=interpret,
+                octant_split=octant_split,
+                multi_pop=multi_pop,
+                n_inter=N_INTER,
+            )
         # material constants resolve here (cheap select chain over the
         # tiny material table) instead of per candidate inside the kernel
         # — round 4 cut the leaf phase ~20% by returning only the id
@@ -567,6 +584,29 @@ def make_fused_hit_shade(
 
     fused.defvjp(fwd, bwd)
     return fused
+
+
+def _static_tri_lights(scene):
+    """Face ids of EMISSIVE triangles (area lights for NEE) — a STATIC
+    numpy array, or None.
+
+    The light SET must be static (fixed shapes under jit); it is derived
+    from the concrete scene at trace time. Under a transformation where
+    the emission values are tracers (e.g. optimizing emission itself),
+    the set cannot be derived and area lights are skipped — sphere
+    lights and the brute-force light transport still work there.
+    """
+    import numpy as _np
+
+    try:
+        em = _np.asarray(scene.materials.emission)
+        mid = _np.asarray(scene.mesh.material_id)
+    except Exception:
+        return None
+    if em.size == 0 or mid.size == 0:
+        return None
+    ids = _np.flatnonzero(em.max(axis=1)[mid] > 0.0)
+    return ids.astype(_np.int32) if ids.size else None
 
 
 def _bounce_dir(
@@ -659,6 +699,11 @@ BOUNCE_MULTI_POP = int(_os.environ.get("ATRAY_BOUNCE_MP", "4"))
 # default for its lower per-walk VMEM residency, not for a measured win;
 # 4 collapses (probe_r31: 1593 ms).
 N_INTER = int(_os.environ.get("ATRAY_N_INTER", "3"))
+# pair-binned traversal knobs (kernels/treelet_pairs.py): K candidate
+# slots per ray per round and the static pair budget as a fraction of
+# the wavefront; measured-best on the true b1 state (probe_r35)
+PAIR_K = int(_os.environ.get("ATRAY_PAIR_K", "4"))
+PAIR_CAP = float(_os.environ.get("ATRAY_PAIR_CAP", "0.5"))
 
 
 _LANE_WCAP = 64                  # pack band: occupancy >= 1/63 ~= 1.6%
@@ -941,6 +986,7 @@ def trace_radiance(
     hit_override: Optional[Callable] = None,
     occl_override: Optional[Callable] = None,
     lane_pack: bool = True,
+    pair_bounces: bool = False,
 ):
     """Path-trace each ray to its radiance (R, 3).
 
@@ -1006,7 +1052,11 @@ def trace_radiance(
 
     face_table = build_face_table(scene)
 
-    nee_active = nee and scene.spheres.count > 0
+    # area lights (round 5, VERDICT r4 weak #6/next #7): emissive
+    # TRIANGLES join the NEE light set alongside spheres
+    tl_ids = _static_tri_lights(scene) if nee else None
+    n_tri_lights = 0 if tl_ids is None else int(tl_ids.shape[0])
+    nee_active = nee and (scene.spheres.count > 0 or n_tri_lights > 0)
     if hit_override is not None and nee_active and occl_override is None:
         raise NotImplementedError(
             "NEE with hit_override needs an occl_override occlusion query "
@@ -1023,17 +1073,18 @@ def trace_radiance(
         needs_peel = False
     _fused_cache = {}
 
-    def _fused_for(accel_, split=False, mp=1):
-        k = (id(accel_), split, mp)
+    def _fused_for(accel_, split=False, mp=1, pair=False):
+        k = (id(accel_), split, mp, pair)
         if k not in _fused_cache:
             _fused_cache[k] = make_fused_hit_shade(
-                accel_, interpret, octant_split=split, multi_pop=mp
+                accel_, interpret, octant_split=split, multi_pop=mp,
+                pair=pair,
             )
         return _fused_cache[k]
 
 
     def _hit_inputs(ox, oy, oz, dx, dy, dz, alive, accel_, split=False,
-                    mp=1):
+                    mp=1, pair=False):
         """SoA nearest-hit: returns flat (R,) planes
         (t, nx, ny, nz, hit, em_r, em_g, em_b, al_r, al_g, al_b, scat).
 
@@ -1072,7 +1123,7 @@ def trace_radiance(
             # the backward replays the bounce body's cheap elementwise
             # math but never re-runs the traversal kernel (path replay
             # with saved hit records, SURVEY.md §7 arch item 6)
-            out = _fused_for(accel_, split, mp)(
+            out = _fused_for(accel_, split, mp, pair)(
                 scene, face_table, ox, oy, oz, dx, dy, dz,
                 alive.astype(jnp.float32)
             )
@@ -1336,7 +1387,7 @@ def trace_radiance(
 
         return state_r, restore
 
-    def bounce_step(state, b, accel_, split=False, mp=1):
+    def bounce_step(state, b, accel_, split=False, mp=1, pair=False):
         """One wavefront bounce, SoA: every per-ray quantity is a flat
         (R,) plane. ``b`` may be a static int (peeled primary) or a traced
         scan index. ``split`` selects the octant-partitioned kernel
@@ -1355,7 +1406,7 @@ def trace_radiance(
 
         (t, nx, ny, nz, hit, emr, emg, emb, alr, alg, alb,
          scat) = _hit_inputs(ox, oy, oz, dx, dy, dz, alive, accel_, split,
-                             mp)
+                             mp, pair)
 
         miss_now = alive & ~hit
         cr = cr + jnp.where(miss_now, wr * sky[0], 0.0)
@@ -1388,26 +1439,83 @@ def trace_radiance(
         hz = oz + t_safe * dz
 
         if nee_active:
-            # --- next-event estimation (shadow rays to sphere lights) ----
+            # --- next-event estimation (shadow rays to the light set:
+            # spheres and, round 5, emissive-TRIANGLE area lights) ------
             ns = scene.spheres.count
-            cen = scene.spheres.centers
-            lem_tab = em[scene.spheres.material_id]          # (S, 3) tiny
+            NL = ns + n_tri_lights
             u_pick = (ucols[3] + 1.0) * 0.5                  # [0, 1)
-            lid = jnp.minimum((u_pick * ns).astype(jnp.int32), ns - 1)
-            lcx = onehot_rows(lid, cen[:, 0])
-            lcy = onehot_rows(lid, cen[:, 1])
-            lcz = onehot_rows(lid, cen[:, 2])
-            lr = onehot_rows(lid, scene.spheres.radii)
-            lemr = onehot_rows(lid, lem_tab[:, 0])
-            lemg = onehot_rows(lid, lem_tab[:, 1])
-            lemb = onehot_rows(lid, lem_tab[:, 2])
-            # uniform point on the light sphere from 2 uniforms
-            z = ucols[4]                                      # [-1, 1]
-            phi = (ucols[5] + 1.0) * jnp.pi                   # [0, 2pi)
-            s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-            tx = lcx + lr * (s * jnp.cos(phi)) - hx
-            ty = lcy + lr * (s * jnp.sin(phi)) - hy
-            tz = lcz + lr * z - hz
+            lid = jnp.minimum((u_pick * NL).astype(jnp.int32), NL - 1)
+            is_tri_l = lid >= ns
+
+            if ns > 0:
+                cen = scene.spheres.centers
+                lem_tab = em[scene.spheres.material_id]      # (S, 3) tiny
+                slid = jnp.clip(lid, 0, ns - 1)
+                lcx = onehot_rows(slid, cen[:, 0])
+                lcy = onehot_rows(slid, cen[:, 1])
+                lcz = onehot_rows(slid, cen[:, 2])
+                lr = onehot_rows(slid, scene.spheres.radii)
+                lemr = onehot_rows(slid, lem_tab[:, 0])
+                lemg = onehot_rows(slid, lem_tab[:, 1])
+                lemb = onehot_rows(slid, lem_tab[:, 2])
+                # uniform point on the light sphere from 2 uniforms
+                z = ucols[4]                                  # [-1, 1]
+                phi = (ucols[5] + 1.0) * jnp.pi               # [0, 2pi)
+                s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+                px = lcx + lr * (s * jnp.cos(phi))
+                py = lcy + lr * (s * jnp.sin(phi))
+                pz = lcz + lr * z
+                occl_lid = slid
+            else:
+                zero = jnp.zeros_like(hx)
+                px = py = pz = zero
+                lr = zero
+                lemr = lemg = lemb = zero
+                occl_lid = jnp.full_like(lid, -1)
+
+            if n_tri_lights > 0:
+                # per-light rows from the face table (differentiable:
+                # gradients reach the light geometry through NEE)
+                rows_l = face_table[jnp.asarray(tl_ids)]     # (nt, 20)
+                lmat = rows_l[:, 18].astype(jnp.int32)
+                em_l = em[lmat]                              # (nt, 3)
+                cr_l = jnp.cross(rows_l[:, 3:6], rows_l[:, 6:9])
+                len_l = jnp.sqrt(jnp.maximum(
+                    jnp.sum(cr_l * cr_l, axis=1), 1.0e-20))
+                nrm_l = cr_l / len_l[:, None]
+                area_l = 0.5 * len_l
+                tlid = jnp.clip(lid - ns, 0, n_tri_lights - 1)
+                # uniform point on the light triangle from 2 uniforms
+                r1 = (ucols[4] + 1.0) * 0.5
+                r2 = (ucols[5] + 1.0) * 0.5
+                su = jnp.sqrt(jnp.maximum(r1, 0.0))
+                b1 = su * (1.0 - r2)
+                b2 = su * r2
+
+                def lrow(k):
+                    return onehot_rows(tlid, rows_l[:, k])
+
+                ptx = lrow(0) + b1 * lrow(3) + b2 * lrow(6)
+                pty = lrow(1) + b1 * lrow(4) + b2 * lrow(7)
+                ptz = lrow(2) + b1 * lrow(5) + b2 * lrow(8)
+                nlx = onehot_rows(tlid, nrm_l[:, 0])
+                nly = onehot_rows(tlid, nrm_l[:, 1])
+                nlz = onehot_rows(tlid, nrm_l[:, 2])
+                area = onehot_rows(tlid, area_l)
+                px = jnp.where(is_tri_l, ptx, px)
+                py = jnp.where(is_tri_l, pty, py)
+                pz = jnp.where(is_tri_l, ptz, pz)
+                lemr = jnp.where(is_tri_l, onehot_rows(tlid, em_l[:, 0]),
+                                 lemr)
+                lemg = jnp.where(is_tri_l, onehot_rows(tlid, em_l[:, 1]),
+                                 lemg)
+                lemb = jnp.where(is_tri_l, onehot_rows(tlid, em_l[:, 2]),
+                                 lemb)
+                occl_lid = jnp.where(is_tri_l, -1, occl_lid)
+
+            tx = px - hx
+            ty = py - hy
+            tz = pz - hz
             dist = jnp.sqrt(
                 jnp.maximum(tx * tx + ty * ty + tz * tz, 1.0e-12)
             )
@@ -1417,7 +1525,9 @@ def trace_radiance(
             cos_l = jnp.maximum(nxo * ldx + nyo * ldy + nzo * ldz, 0.0)
             # occlusion: nearest hit along the shadow ray closer than the
             # light sample point (minus eps to ignore the light's own
-            # surface); dead lanes get parked rays
+            # surface — for an area light the sample point lies ON the
+            # face, so its own hit lands at ~dist and the eps excludes
+            # it); dead lanes get parked rays
             sox = jnp.where(live_hit, hx, 1.0e7)
             soy = jnp.where(live_hit, hy, 1.0e7)
             soz = jnp.where(live_hit, hz, 1.0e7)
@@ -1425,11 +1535,18 @@ def trace_radiance(
             sdy = jnp.where(live_hit, ldy, 0.0)
             sdz = jnp.where(live_hit, ldz, 1.0)
             occluded = _occlusion(
-                sox, soy, soz, sdx, sdy, sdz, accel_, dist, lid, live_hit,
-                split, mp,
+                sox, soy, soz, sdx, sdy, sdz, accel_, dist, occl_lid,
+                live_hit, split, mp,
             )
             geom = (lr * lr) / jnp.maximum(dist * dist, lr * lr)
-            gain = cos_l * geom * ns
+            gain = cos_l * geom * NL
+            if n_tri_lights > 0:
+                # area-light geometric term: receiver cosine x |light
+                # cosine| (two-sided emitter) x area / squared distance
+                cos_lt = jnp.abs(nlx * ldx + nly * ldy + nlz * ldz)
+                gain_t = cos_l * cos_lt * area / jnp.maximum(
+                    dist * dist, 1.0e-12) * NL
+                gain = jnp.where(is_tri_l, gain_t, gain)
             lit = live_hit & ~occluded
             cr = cr + jnp.where(lit, wr * alr * lemr * gain, 0.0)
             cg = cg + jnp.where(lit, wg * alg * lemg * gain, 0.0)
@@ -1479,9 +1596,21 @@ def trace_radiance(
     # by a dedicated small interpret test (tests/test_pallas.py).
     bounce_mp = 1 if interpret else BOUNCE_MULTI_POP
 
+    # pair-binned traversal for the incoherent bounces (round 5): only
+    # for a ShadedWideBVH that carries the treelet view; the coherent
+    # primary keeps the block-synchronous walk (it is fast there)
+    pair_ok = (
+        pair_bounces
+        and isinstance(bounce_accel, ShadedWideBVH)
+        and getattr(bounce_accel, "num_treelets", 0) > 0
+        and bounce_accel.tboxes is not None
+        and hit_override is None
+    )
+
     def scan_body(carry, b):
         return bounce_step(
-            carry, b, bounce_accel, split=False, mp=bounce_mp
+            carry, b, bounce_accel, split=False, mp=bounce_mp,
+            pair=pair_ok,
         ), None
 
     if remat:
@@ -1717,12 +1846,17 @@ def from_tile_order(x: jnp.ndarray, w: int, h: int, spp: int) -> jnp.ndarray:
 
 def _trace_chunked(
     scene, orig, dirn, ray_ids, settings: RenderSettings, key, accel,
-    uniforms=None,
+    uniforms=None, progress_cb=None,
 ):
     """Trace a flat ray set, optionally in fixed-size chunks via ``lax.map``
     (ONE traced/compiled chunk body, sequential execution — bounds device
     memory and per-dispatch runtime without re-tracing per chunk).
     Returns (color (N, 3), rays_cast scalar).
+
+    ``progress_cb(live_rays_in_chunk)`` is invoked from the device ONCE
+    PER CHUNK via ``jax.debug.callback`` — the in-flight progress signal
+    within a single frame dispatch (the headless analog of the
+    reference's tiles-done window-title counter, app.cpp:174-181).
     """
     n = orig.shape[0]
     chunk = settings.ray_chunk
@@ -1732,6 +1866,7 @@ def _trace_chunked(
             uniforms=uniforms, accel=accel, sort_rays=settings.sort_bounces,
             nee=settings.nee, return_stats=True, ray_ids=ray_ids,
             lane_pack=settings.lane_pack,
+            pair_bounces=settings.pair_bounces,
         )
         return color, stats["rays_cast"]
 
@@ -1760,12 +1895,16 @@ def _trace_chunked(
 
         def f(args):
             o, d, ids, un = args
-            return trace_radiance(
+            out = trace_radiance(
                 scene, o, d, settings.bounce_limit, key=key, uniforms=un,
                 accel=accel, sort_rays=settings.sort_bounces,
                 nee=settings.nee, return_stats=True, ray_ids=ids,
                 lane_pack=settings.lane_pack,
+                pair_bounces=settings.pair_bounces,
             )
+            if progress_cb is not None:
+                jax.debug.callback(progress_cb, out[1]["rays_cast"])
+            return out
 
         xs = (
             orig.reshape(nc, chunk, 3), dirn.reshape(nc, chunk, 3),
@@ -1775,12 +1914,16 @@ def _trace_chunked(
 
         def f(args):
             o, d, ids = args
-            return trace_radiance(
+            out = trace_radiance(
                 scene, o, d, settings.bounce_limit, key=key,
                 accel=accel, sort_rays=settings.sort_bounces,
                 nee=settings.nee, return_stats=True, ray_ids=ids,
                 lane_pack=settings.lane_pack,
+                pair_bounces=settings.pair_bounces,
             )
+            if progress_cb is not None:
+                jax.debug.callback(progress_cb, out[1]["rays_cast"])
+            return out
 
         xs = (
             orig.reshape(nc, chunk, 3), dirn.reshape(nc, chunk, 3),
@@ -1801,6 +1944,7 @@ def render(
     mesh=None,
     axis_name: str = "rays",
     return_stats: bool = False,
+    progress_cb=None,
 ) -> jnp.ndarray:
     """Full forward render -> linear-RGB film (H, W, 3) in [0, 1].
 
@@ -1845,7 +1989,7 @@ def render(
     if mesh is None:
         color, rays_cast = _trace_chunked(
             scene, orig, dirn, ray_ids, settings, bounce_key, accel,
-            uniforms=uniforms,
+            uniforms=uniforms, progress_cb=progress_cb,
         )
     else:
         from jax.sharding import PartitionSpec as P

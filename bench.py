@@ -242,6 +242,7 @@ def main() -> None:
     settings = RenderSettings(
         resolution=(w, h), samples_per_pixel=spp_pass, bounce_limit=bounces,
         ray_chunk=chunk, sort_bounces=sort,
+        pair_bounces=os.environ.get("ATRAY_BENCH_PAIR", "0") == "1",
     )
 
     n_chips = jax.device_count()

@@ -60,7 +60,9 @@ def build_b1_state():
                     offsets=poff[None],
                     material_id=jnp.asarray([2], jnp.int32))
     scene = build_scene([dragon], planes=planes, materials=mats)
-    accel = build_shaded_accel(scene, KDTreeConfig(leaf_size=16))
+    accel = build_shaded_accel(scene, KDTreeConfig(
+        leaf_size=16,
+        leaves_per_treelet=int(os.environ.get('PROBE_LPT', '16'))))
     cam = look_at_camera((0.0, 1.0, 0.8), (0.0, 0.0, -4.0), h_fov=0.9,
                          aspect=W / H)
     orig, dirn = camera_rays(cam, W, H, SPP)

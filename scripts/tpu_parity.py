@@ -50,6 +50,30 @@ def hit_parity(scene, accel, orig, dirn, variants):
     id_ref = np.asarray(id_ref)
 
     out = {}
+    # round 5: the pair-binned traversal must agree with the production
+    # kernel (measured bit-exact incl. ids on the b1 state, probe_r35)
+    from atray_tpu.kernels.treelet_pairs import treelet_pair_hit
+
+    if getattr(accel, "num_treelets", 0) > 0:
+        ref_k = jax.jit(
+            lambda o, d: wide_shade_first_hit(accel, o, d, n_inter=3,
+                                              multi_pop=4))(orig, dirn)
+        pair_fo, _ = jax.jit(
+            lambda o, d: treelet_pair_hit(
+                accel, o[:, 0], o[:, 1], o[:, 2],
+                d[:, 0], d[:, 1], d[:, 2],
+                jnp.ones((o.shape[0],), jnp.float32)))(orig, dirn)
+        t_w = np.asarray(ref_k["t"])
+        t_p = np.asarray(pair_fo["t"])
+        id_w = np.asarray(ref_k["id"])
+        id_p = np.asarray(pair_fo["id"])
+        out["pair_vs_wide"] = {
+            "rays": int(t_w.size),
+            "t_mismatch": int((t_p != t_w).sum()),
+            "id_mismatch": int((id_p != id_w).sum()),
+            "pass": bool((t_p == t_w).all()),
+        }
+
     for (ni, mp) in variants:
         fo = jax.jit(
             lambda o, d, ni=ni, mp=mp: wide_shade_first_hit(
@@ -274,7 +298,7 @@ def main():
     )
     report["all_pass"] = bool(ok)
     report["elapsed_s"] = round(time.time() - t0, 1)
-    out = os.environ.get("ATRAY_PARITY_OUT", os.path.join(REPO, "TPU_PARITY_r04.json"))
+    out = os.environ.get("ATRAY_PARITY_OUT", os.path.join(REPO, "TPU_PARITY_r05.json"))
     with open(out, "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps(report, indent=2))

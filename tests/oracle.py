@@ -179,7 +179,13 @@ def trace(orig, dirn, sc, bounces, uniforms, nee=False):
     color = np.zeros((r, 3), np.float32)
     alive = np.ones(r, bool)
     em, al, scat = sc["emission"], sc["albedo"], sc["scatter"]
-    nee_active = nee and sc["sph_c"].shape[0] > 0
+    # emissive-triangle area lights (round 5) join the NEE light set
+    tri_lights = np.flatnonzero(
+        em.max(axis=1)[sc["tri_m"]] > 0.0
+    ) if sc["faces"].shape[0] > 0 else np.zeros((0,), np.int64)
+    nee_active = nee and (
+        sc["sph_c"].shape[0] > 0 or tri_lights.size > 0
+    )
     for b in range(bounces):
         h = nearest_hit(o, d, sc)
         hit = h["ptype"] != PRIM_NONE
@@ -201,17 +207,52 @@ def trace(orig, dirn, sc, bounces, uniforms, nee=False):
             t_safe0 = np.where(hit, h["t"], 0.0).astype(np.float32)
             hp0 = o + t_safe0[:, None] * d
             ns = sc["sph_c"].shape[0]
+            nt = tri_lights.size
+            NL = ns + nt
             uni = uniforms[b]
             u_pick = (uni[:, 3] + 1.0) * 0.5
-            lid = np.minimum((u_pick * ns).astype(np.int32), ns - 1)
-            lc = sc["sph_c"][lid]
-            lr = sc["sph_r"][lid]
-            lem = em[sc["sph_m"][lid]]
-            z = uni[:, 4]
-            phi = (uni[:, 5] + 1.0) * np.pi
-            s = np.sqrt(np.maximum(1.0 - z * z, 0.0))
-            spt = np.stack([s * np.cos(phi), s * np.sin(phi), z], axis=1)
-            target = lc + lr[:, None] * spt
+            lid = np.minimum((u_pick * NL).astype(np.int32), NL - 1)
+            is_tri_l = lid >= ns
+            target = np.zeros((r, 3), np.float32)
+            lem = np.zeros((r, 3), np.float32)
+            lr = np.zeros((r,), np.float32)
+            sph_lid = np.full((r,), -1, np.int32)
+            if ns > 0:
+                slid = np.clip(lid, 0, ns - 1)
+                lc = sc["sph_c"][slid]
+                lr = sc["sph_r"][slid].astype(np.float32)
+                lem = em[sc["sph_m"][slid]]
+                z = uni[:, 4]
+                phi = (uni[:, 5] + 1.0) * np.pi
+                s = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+                spt = np.stack(
+                    [s * np.cos(phi), s * np.sin(phi), z], axis=1)
+                target = (lc + lr[:, None] * spt).astype(np.float32)
+                sph_lid = slid
+            cos_lt = np.zeros((r,), np.float32)
+            area = np.zeros((r,), np.float32)
+            if nt > 0:
+                v = sc["vertices"]
+                fl = sc["faces"][tri_lights]
+                p0_l = v[fl[:, 0]]
+                e1_l = v[fl[:, 1]] - p0_l
+                e2_l = v[fl[:, 2]] - p0_l
+                cr_l = np.cross(e1_l, e2_l)
+                len_l = np.sqrt(np.maximum((cr_l * cr_l).sum(1), 1e-20))
+                nrm_l = cr_l / len_l[:, None]
+                area_l = 0.5 * len_l
+                em_l = em[sc["tri_m"][tri_lights]]
+                tlid = np.clip(lid - ns, 0, nt - 1)
+                r1 = (uni[:, 4] + 1.0) * 0.5
+                r2 = (uni[:, 5] + 1.0) * 0.5
+                su = np.sqrt(np.maximum(r1, 0.0))
+                b1 = (su * (1.0 - r2))[:, None]
+                b2 = (su * r2)[:, None]
+                pt = p0_l[tlid] + b1 * e1_l[tlid] + b2 * e2_l[tlid]
+                target = np.where(is_tri_l[:, None],
+                                  pt.astype(np.float32), target)
+                lem = np.where(is_tri_l[:, None], em_l[tlid], lem)
+                sph_lid = np.where(is_tri_l, -1, sph_lid)
             delta = target - hp0
             dist = np.sqrt(np.maximum(_dot(delta, delta), 1.0e-12))
             ldir = delta / dist[:, None]
@@ -219,10 +260,16 @@ def trace(orig, dirn, sc, bounces, uniforms, nee=False):
             so = np.where(live[:, None], hp0, 1.0e7).astype(np.float32)
             sd = np.where(live[:, None], ldir, np.array([0, 0, 1.0])).astype(np.float32)
             sh = nearest_hit(so, sd, sc)
-            is_light = (sh["ptype"] == PRIM_SPHERE) & (sh["pid"] == lid)
+            is_light = (sh["ptype"] == PRIM_SPHERE) & (sh["pid"] == sph_lid)
             occluded = (sh["t"] < dist - 1.0e-3) & (~is_light)
             geom = (lr * lr) / np.maximum(dist * dist, lr * lr)
-            direct = weight * al[m] * lem * (cos_l * geom * ns)[:, None]
+            gain = cos_l * geom * NL
+            if nt > 0:
+                cos_lt = np.abs(_dot(nrm_l[tlid], ldir))
+                gain_t = (cos_l * cos_lt * area_l[tlid]
+                          / np.maximum(dist * dist, 1e-12) * NL)
+                gain = np.where(is_tri_l, gain_t, gain)
+            direct = weight * al[m] * lem * gain[:, None]
             color += np.where((live & ~occluded)[:, None], direct, 0.0)
 
         weight = np.where(live[:, None], weight * al[m] * atten[:, None], weight)

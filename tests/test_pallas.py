@@ -31,6 +31,7 @@ def _rays(rng, n):
 
 @pytest.mark.parametrize("leaf_size", [4, 8, 16])
 @pytest.mark.parametrize("kernel", ["packet", "frustum"])
+@pytest.mark.slow
 def test_kernels_match_jnp_traversal(leaf_size, kernel, rng):
     mesh = procedural.uv_sphere(rows=16, cols=16)
     bvh = build_bvh(mesh.vertices, mesh.faces, KDTreeConfig(leaf_size=leaf_size))
@@ -50,6 +51,7 @@ def test_kernels_match_jnp_traversal(leaf_size, kernel, rng):
     )
 
 
+@pytest.mark.slow
 def test_kernels_on_camera_rays(rng):
     mesh = translate(procedural.uv_sphere(rows=12, cols=12), (0, 0, -4))
     bvh = build_bvh(mesh.vertices, mesh.faces, KDTreeConfig(leaf_size=8))
@@ -120,6 +122,7 @@ def test_render_chunked_matches_unchunked_shape():
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_wide_and_persistent_kernels_match_jnp(rng):
     from atray_tpu.accel.wide import wide_from_mesh
     from atray_tpu.kernels.persistent_pallas import persistent_first_hit
@@ -136,6 +139,7 @@ def test_wide_and_persistent_kernels_match_jnp(rng):
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
 
 
+@pytest.mark.slow
 def test_render_with_hybrid_accel_matches_brute():
     from atray_tpu.accel.wide import make_accel
 
