@@ -203,7 +203,7 @@ def test_refit_shaded_matches_bruteforce_after_vertex_move(rng):
     scene2 = scene.with_params(
         _dc.replace(scene.params(), vertices=v_new))
 
-    n = 256
+    n = 128
     orig = jnp.asarray(rng.normal(0, 3.0, (n, 3)), jnp.float32)
     dirn = orig / jnp.linalg.norm(orig, axis=1, keepdims=True)
     orig, dirn = -3.0 * dirn, dirn
@@ -231,4 +231,4 @@ def test_refit_shaded_matches_bruteforce_after_vertex_move(rng):
             np.asarray(got["t"]), np.asarray(t_b), rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(got["id"]),
                                       np.asarray(id_b))
-    assert int(np.sum(np.asarray(id_b) >= 0)) > 100
+    assert int(np.sum(np.asarray(id_b) >= 0)) > 50

@@ -334,6 +334,7 @@ def test_fused_shaded_nee_matches_standard():
     )
 
 
+@pytest.mark.slow
 def test_wide_shade_stats_mode():
     # stats=True must leave all hit outputs bit-identical and report
     # positive per-pair traversal counters (round-4 instrumentation)
