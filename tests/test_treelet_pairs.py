@@ -137,3 +137,34 @@ def test_candidates_match_numpy(rng):
             assert bound[i] == np.float32(te[order][3])
         else:
             assert bound[i] > 1e30
+
+
+@pytest.mark.slow
+def test_render_pair_bounces_film_identical(rng):
+    # the INTEGRATED pair path (RenderSettings.pair_bounces) must produce
+    # the production kernel's film bit-for-bit (measured likewise on
+    # hardware at the full NEE dragon config, round 5)
+    import dataclasses
+
+    from atray_tpu.config import RenderSettings
+    from atray_tpu.core.camera import look_at_camera
+    from atray_tpu.render.wavefront import render
+
+    accel = _accel(tris=1500, lpt=2)
+    mesh = translate(
+        procedural.dragon_proxy(target_tris=1500, material=1),
+        (0.0, 0.0, -4.0),
+    )
+    scene = build_scene([mesh], materials=MATS)
+    cam = look_at_camera((0, 0.7, 0.8), (0, 0, -4), h_fov=0.9, aspect=2.0)
+    base = RenderSettings(resolution=(64, 32), samples_per_pixel=1,
+                          bounce_limit=3, sort_bounces=True)
+    key = jax.random.PRNGKey(5)
+
+    film_walk = np.asarray(render(
+        scene, cam, base, key, accel=accel))
+    film_pair = np.asarray(render(
+        scene, cam, dataclasses.replace(base, pair_bounces=True), key,
+        accel=accel))
+    np.testing.assert_array_equal(film_pair, film_walk)
+    assert film_walk.std() > 0.01
