@@ -15,8 +15,10 @@ Scene TOML (see examples/cornell.toml):
   [accel]     leaf_size / sah_bins / max_depth
   [camera]    eye / look_at / h_fov
   [[materials]]  name + emission + albedo + scatter  (first entry = skybox)
-  [[meshes]]     obj = path  OR  procedural = cube|uv_sphere|dragon
-                 + material, translate_to, scale_to, smooth, rows/cols/tris
+  [[meshes]]     obj = path  OR  procedural = cube|uv_sphere|dragon|quad
+                 + material, translate_to, scale_to, smooth, rows/cols/
+                 tris, corners (quad — emissive quads become NEE area
+                 lights)
   [[spheres]]    center + radius + material
   [[planes]]     normal + offset + material
 """
@@ -127,6 +129,13 @@ def load_scene_file(path: str):
                 mesh = procedural.dragon_proxy(
                     target_tris=int(m.get("tris", 139000)), material=mid,
                     smooth=bool(m.get("smooth", True)),
+                )
+            elif kind == "quad":
+                # a two-triangle panel (area lights, walls): corners
+                # counter-clockwise; emissive material -> NEE area light
+                mesh = procedural.quad(
+                    m["corners"][0], m["corners"][1],
+                    m["corners"][2], m["corners"][3], material=mid,
                 )
             else:
                 raise ValueError(f"unknown procedural mesh {kind!r}")

@@ -441,3 +441,22 @@ def test_progress_callback_ticks_per_chunk():
     jax.block_until_ready(film)
     assert len(ticks) == 3            # 6144 rays / 2048 per chunk
     assert all(t > 0 for t in ticks)
+
+
+def test_cli_parses_quad_area_light_scene():
+    # the shipped area-light example must parse: quads + emissive panel
+    # materials (round-5 CLI authoring for NEE area lights)
+    import os
+
+    from atray_tpu.cli import load_scene_file
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "arealight.toml")
+    scene, camera, settings, accel_cfg, mesh_cfg = load_scene_file(path)
+    assert settings.nee
+    assert int(scene.mesh.num_faces) > 138_000  # dragon + 2 quads
+    import numpy as np
+
+    em = np.asarray(scene.materials.emission)
+    mid = np.asarray(scene.mesh.material_id)
+    assert (em.max(axis=1)[mid] > 0).sum() == 4  # 4 emissive faces
