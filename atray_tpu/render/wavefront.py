@@ -204,6 +204,75 @@ def build_face_table(scene: Scene) -> Optional[jnp.ndarray]:
     )  # (T, 20)
 
 
+def build_face_uv(scene: Scene) -> Optional[jnp.ndarray]:
+    """(T, 8) packed per-face texture coordinates:
+    [u0, v0, u1, v1, u2, v2, has_uv, pad] — built once per trace, like
+    ``build_face_table``. Faces without tex coords get has_uv = 0."""
+    if scene.mesh.num_faces == 0:
+        return None
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
+    ft = scene.mesh.face_tex_idx
+    has = (ft[:, 0] >= 0).astype(jnp.float32)[:, None]
+    tcl = jnp.clip(ft, 0, scene.mesh.tex_coords.shape[0] - 1)
+    tc = scene.mesh.tex_coords
+    uv = jnp.concatenate([tc[tcl[:, 0]], tc[tcl[:, 1]], tc[tcl[:, 2]]],
+                         axis=1)
+    return jnp.concatenate([uv, has, jnp.zeros_like(has)], axis=1)
+
+
+def _texture_mod_soa(texture, face_table, face_uv, fid, tri_hit,
+                     ox, oy, oz, dx, dy, dz):
+    """Per-ray albedo modulation planes (tr, tg, tb) from the scene
+    texture at the hit's interpolated UV (round 5, beyond parity —
+    the reference stores tex coords but never samples them).
+
+    Nearest-neighbor, wrap addressing; rays that are not triangle hits
+    or whose face has no tex coords get 1.0. Differentiable w.r.t. the
+    TEXELS (one row gather); the discrete texel choice is detached,
+    matching the renderer's detached-visibility convention.
+    """
+    nf = face_table.shape[0]
+    fcl = jnp.clip(fid, 0, nf - 1)
+    row = face_table[fcl]
+    # recompute barycentrics with the same Möller–Trumbore planes the
+    # resolve path uses (cheap elementwise; the winning face is fixed)
+    p0x, p0y, p0z = row[:, 0], row[:, 1], row[:, 2]
+    e1x, e1y, e1z = row[:, 3], row[:, 4], row[:, 5]
+    e2x, e2y, e2z = row[:, 6], row[:, 7], row[:, 8]
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    ok = jnp.abs(det) > 1.0e-12
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tvx = ox - p0x
+    tvy = oy - p0y
+    tvz = oz - p0z
+    uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    w0 = 1.0 - uu - vv
+    uvrow = face_uv[fcl]
+    ut = w0 * uvrow[:, 0] + uu * uvrow[:, 2] + vv * uvrow[:, 4]
+    vt = w0 * uvrow[:, 1] + uu * uvrow[:, 3] + vv * uvrow[:, 5]
+    th, tw = texture.shape[0], texture.shape[1]
+    # wrap addressing; v = 0 is the image BOTTOM row (OBJ convention)
+    ix = jnp.clip((jnp.mod(ut, 1.0) * tw).astype(jnp.int32), 0, tw - 1)
+    iy = jnp.clip(((1.0 - jnp.mod(vt, 1.0)) * th).astype(jnp.int32),
+                  0, th - 1)
+    texel = texture.reshape(-1, 3)[
+        jax.lax.stop_gradient(iy * tw + ix)]       # one (R, 3) row gather
+    use = tri_hit & (uvrow[:, 6] > 0.5)
+    one = jnp.ones_like(ut)
+    return (
+        jnp.where(use, texel[:, 0], one),
+        jnp.where(use, texel[:, 1], one),
+        jnp.where(use, texel[:, 2], one),
+    )
+
+
 def resolve_hit(
     scene: Scene,
     orig: jnp.ndarray,
@@ -1051,6 +1120,16 @@ def trace_radiance(
     primary_accel, bounce_accel, needs_peel = _split_accel(accel)
 
     face_table = build_face_table(scene)
+    # textured scenes take the gather-based resolve path (the fused
+    # kernel bakes no UVs); traversal still runs the fast kernels via
+    # nearest_hit_ids
+    has_tex = (
+        scene.texture is not None
+        and scene.mesh.num_faces > 0
+        and scene.mesh.face_tex_idx.shape[0] > 0
+        and hit_override is None
+    )
+    face_uv = build_face_uv(scene) if has_tex else None
 
     # area lights (round 5, VERDICT r4 weak #6/next #7): emissive
     # TRIANGLES join the NEE light set alongside spheres
@@ -1116,7 +1195,7 @@ def trace_radiance(
                 ox, oy, oz, dx, dy, dz, t,
                 n[:, 0], n[:, 1], n[:, 2], hit, *mats,
             )
-        if isinstance(accel_, ShadedWideBVH):
+        if isinstance(accel_, ShadedWideBVH) and not has_tex:
             # the fused custom_vjp names its outputs "hit_shade" inside
             # its fwd rule (see make_fused_hit_shade): the remat policy
             # saves them AND the residuals alias the named values, so
@@ -1140,6 +1219,14 @@ def trace_radiance(
         t, n, mat, hit = resolve_hit(scene, o3, d3, ids,
                                      face_table=face_table)
         mats = resolve_material_comps(scene, mat, hit)
+        if has_tex:
+            tr_, tg_, tb_ = _texture_mod_soa(
+                scene.texture, face_table, face_uv, ids.prim_id,
+                (ids.prim_type == PRIM_TRI) & hit,
+                ox, oy, oz, dx, dy, dz,
+            )
+            mats = (mats[0], mats[1], mats[2], mats[3] * tr_,
+                    mats[4] * tg_, mats[5] * tb_, mats[6])
         # material 0 on miss still shades as sky via the miss branch;
         # resolve_material_comps zeroes miss lanes, matching the fused
         # kernel's sentinel contract

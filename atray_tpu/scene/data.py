@@ -110,12 +110,20 @@ class Planes:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Scene:
-    """The fused render-facing scene (reference Scene, scene.h:13-24)."""
+    """The fused render-facing scene (reference Scene, scene.h:13-24).
+
+    ``texture`` (round 5, beyond parity — the reference parses tex
+    coords but never samples them, model.h:13-28): an optional (H, W, 3)
+    f32 image sampled at the hit's UV (nearest-neighbor, wrap) and
+    multiplied into the albedo of triangle hits whose faces carry tex
+    coords. Differentiable w.r.t. the texels.
+    """
 
     mesh: TriMesh
     spheres: Spheres
     planes: Planes
     materials: Materials
+    texture: jnp.ndarray = None
 
     # -- derived, differentiable triangle SoA ------------------------------
     def triangle_soa(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -251,6 +259,7 @@ def build_scene(
     spheres: Optional[Spheres] = None,
     planes: Optional[Planes] = None,
     materials: Optional[Materials] = None,
+    texture=None,
 ) -> Scene:
     if materials is None:
         # Minimal default: black skybox + one grey diffuse material.
@@ -263,4 +272,5 @@ def build_scene(
         spheres=spheres if spheres is not None else empty_spheres(),
         planes=planes if planes is not None else empty_planes(),
         materials=materials,
+        texture=None if texture is None else _f32(texture),
     )

@@ -51,6 +51,10 @@ def scene_to_numpy(scene):
         emission=np.asarray(scene.materials.emission, np.float32),
         albedo=np.asarray(scene.materials.albedo, np.float32),
         scatter=np.asarray(scene.materials.scatter, np.float32),
+        tex_coords=np.asarray(scene.mesh.tex_coords, np.float32),
+        face_tex_idx=np.asarray(scene.mesh.face_tex_idx),
+        texture=(None if scene.texture is None
+                 else np.asarray(scene.texture, np.float32)),
     )
 
 
@@ -200,6 +204,27 @@ def trace(orig, dirn, sc, bounces, uniforms, nee=False):
         atten = np.where(backface, 0.0, cos_in)
 
         m = h["mat"]
+        al_m = al[m]
+        if sc.get("texture") is not None and sc["faces"].shape[0] > 0:
+            tri_sel = h["ptype"] == PRIM_TRI
+            fcl = np.clip(h["pid"], 0, sc["faces"].shape[0] - 1)
+            ft = sc["face_tex_idx"][fcl]
+            has_uv = ft[:, 0] >= 0
+            tcl = np.clip(ft, 0, sc["tex_coords"].shape[0] - 1)
+            tc = sc["tex_coords"]
+            w0 = 1.0 - h["u"] - h["v"]
+            ut = (w0 * tc[tcl[:, 0], 0] + h["u"] * tc[tcl[:, 1], 0]
+                  + h["v"] * tc[tcl[:, 2], 0])
+            vt = (w0 * tc[tcl[:, 0], 1] + h["u"] * tc[tcl[:, 1], 1]
+                  + h["v"] * tc[tcl[:, 2], 1])
+            tex = sc["texture"]
+            th, tw = tex.shape[0], tex.shape[1]
+            ix = np.clip((np.mod(ut, 1.0) * tw).astype(np.int32), 0, tw - 1)
+            iy = np.clip(((1.0 - np.mod(vt, 1.0)) * th).astype(np.int32),
+                         0, th - 1)
+            texel = tex.reshape(-1, 3)[iy * tw + ix]
+            use = (tri_sel & has_uv)[:, None]
+            al_m = np.where(use, al_m * texel, al_m)
         if (not nee_active) or b == 0:
             color += np.where(live[:, None], weight * em[m], 0.0)
 
@@ -269,10 +294,10 @@ def trace(orig, dirn, sc, bounces, uniforms, nee=False):
                 gain_t = (cos_l * cos_lt * area_l[tlid]
                           / np.maximum(dist * dist, 1e-12) * NL)
                 gain = np.where(is_tri_l, gain_t, gain)
-            direct = weight * al[m] * lem * gain[:, None]
+            direct = weight * al_m * lem * gain[:, None]
             color += np.where((live & ~occluded)[:, None], direct, 0.0)
 
-        weight = np.where(live[:, None], weight * al[m] * atten[:, None], weight)
+        weight = np.where(live[:, None], weight * al_m * atten[:, None], weight)
 
         random_bounce = _normalize(n_o + uniforms[b][:, 0:3])
         pure_bounce = _normalize(d - 2.0 * _dot(d, n_o)[:, None] * n_o)
