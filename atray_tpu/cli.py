@@ -21,6 +21,9 @@ Scene TOML (see examples/cornell.toml):
                  lights)
   [[spheres]]    center + radius + material
   [[planes]]     normal + offset + material
+  [texture]      image = path (PNG/JPG via PIL)  OR  checker = [H, W]
+                 + color_a/color_b — sampled at UV-mapped faces (albedo
+                 modulation); meshes need tex coords (OBJ vt records)
 """
 
 from __future__ import annotations
@@ -172,7 +175,23 @@ def load_scene_file(path: str):
             ),
         )
 
-    scene = build_scene(meshes, spheres=spheres, planes=planes, materials=materials)
+    texture = None
+    tcfg = doc.get("texture", {})
+    if "image" in tcfg:
+        from PIL import Image
+
+        img = Image.open(tcfg["image"]).convert("RGB")
+        texture = np.asarray(img, np.float32) / 255.0
+    elif "checker" in tcfg:
+        th, tw = (int(x) for x in tcfg["checker"])
+        ca = np.asarray(tcfg.get("color_a", (1.0, 1.0, 1.0)), np.float32)
+        cb = np.asarray(tcfg.get("color_b", (0.2, 0.2, 0.2)), np.float32)
+        yy, xx = np.mgrid[0:th, 0:tw]
+        m = ((xx + yy) % 2).astype(np.float32)[..., None]
+        texture = m * ca + (1.0 - m) * cb
+
+    scene = build_scene(meshes, spheres=spheres, planes=planes,
+                        materials=materials, texture=texture)
 
     ccfg = doc.get("camera", {})
     w, h = settings.resolution

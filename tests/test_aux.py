@@ -460,3 +460,21 @@ def test_cli_parses_quad_area_light_scene():
     em = np.asarray(scene.materials.emission)
     mid = np.asarray(scene.mesh.material_id)
     assert (em.max(axis=1)[mid] > 0).sum() == 4  # 4 emissive faces
+
+
+def test_cli_parses_checker_texture(tmp_path):
+    import numpy as np
+
+    from atray_tpu.cli import load_scene_file
+
+    toml = tmp_path / "tex.toml"
+    toml.write_text(
+        "[render]\nresolution = [32, 24]\n"
+        "[texture]\nchecker = [4, 4]\ncolor_a = [1.0, 0.0, 0.0]\n"
+        "[[materials]]\nname = \"sky\"\nemission = [0.2, 0.2, 0.2]\n"
+        "[[materials]]\nname = \"m\"\nalbedo = [0.8, 0.8, 0.8]\n"
+        "[[meshes]]\nprocedural = \"cube\"\nmaterial = \"m\"\n"
+    )
+    scene, *_ = load_scene_file(str(toml))
+    assert scene.texture is not None
+    assert np.asarray(scene.texture).shape == (4, 4, 3)
