@@ -1056,6 +1056,7 @@ def trace_radiance(
     occl_override: Optional[Callable] = None,
     lane_pack: bool = True,
     pair_bounces: bool = False,
+    tri_light_ids="auto",
 ):
     """Path-trace each ray to its radiance (R, 3).
 
@@ -1132,8 +1133,14 @@ def trace_radiance(
     face_uv = build_face_uv(scene) if has_tex else None
 
     # area lights (round 5, VERDICT r4 weak #6/next #7): emissive
-    # TRIANGLES join the NEE light set alongside spheres
-    tl_ids = _static_tri_lights(scene) if nee else None
+    # TRIANGLES join the NEE light set alongside spheres. The light SET
+    # must come from a CONCRETE scene; under shard_map the closed-over
+    # leaves are tracers, so render()/_trace_chunked detect the lights
+    # OUTSIDE the sharded region and pass them in ("auto" = detect here).
+    if isinstance(tri_light_ids, str) and tri_light_ids == "auto":
+        tl_ids = _static_tri_lights(scene) if nee else None
+    else:
+        tl_ids = tri_light_ids
     n_tri_lights = 0 if tl_ids is None else int(tl_ids.shape[0])
     nee_active = nee and (scene.spheres.count > 0 or n_tri_lights > 0)
     if hit_override is not None and nee_active and occl_override is None:
@@ -1933,7 +1940,7 @@ def from_tile_order(x: jnp.ndarray, w: int, h: int, spp: int) -> jnp.ndarray:
 
 def _trace_chunked(
     scene, orig, dirn, ray_ids, settings: RenderSettings, key, accel,
-    uniforms=None, progress_cb=None,
+    uniforms=None, progress_cb=None, tri_light_ids="auto",
 ):
     """Trace a flat ray set, optionally in fixed-size chunks via ``lax.map``
     (ONE traced/compiled chunk body, sequential execution — bounds device
@@ -1954,6 +1961,7 @@ def _trace_chunked(
             nee=settings.nee, return_stats=True, ray_ids=ray_ids,
             lane_pack=settings.lane_pack,
             pair_bounces=settings.pair_bounces,
+            tri_light_ids=tri_light_ids,
         )
         return color, stats["rays_cast"]
 
@@ -1988,6 +1996,7 @@ def _trace_chunked(
                 nee=settings.nee, return_stats=True, ray_ids=ids,
                 lane_pack=settings.lane_pack,
                 pair_bounces=settings.pair_bounces,
+                tri_light_ids=tri_light_ids,
             )
             if progress_cb is not None:
                 jax.debug.callback(progress_cb, out[1]["rays_cast"])
@@ -2007,6 +2016,7 @@ def _trace_chunked(
                 nee=settings.nee, return_stats=True, ray_ids=ids,
                 lane_pack=settings.lane_pack,
                 pair_bounces=settings.pair_bounces,
+                tri_light_ids=tri_light_ids,
             )
             if progress_cb is not None:
                 jax.debug.callback(progress_cb, out[1]["rays_cast"])
@@ -2073,10 +2083,16 @@ def render(
     ray_ids = jnp.arange(n, dtype=jnp.int32)
 
     rays_cast_per_shard = None
+    # detect emissive-triangle lights HERE, where the scene is concrete
+    # (under shard_map the closure leaves are tracers and detection
+    # would silently disable area lights on the sharded path)
+    tl_ids = _static_tri_lights(scene) if settings.nee else None
+
     if mesh is None:
         color, rays_cast = _trace_chunked(
             scene, orig, dirn, ray_ids, settings, bounce_key, accel,
             uniforms=uniforms, progress_cb=progress_cb,
+            tri_light_ids=tl_ids,
         )
     else:
         from jax.sharding import PartitionSpec as P
@@ -2119,7 +2135,8 @@ def render(
         )
         def _run(o, d, ids, un=None):
             c, rc = _trace_chunked(
-                scene, o, d, ids, settings, bounce_key, accel, uniforms=un
+                scene, o, d, ids, settings, bounce_key, accel,
+                uniforms=un, tri_light_ids=tl_ids,
             )
             return c, rc[None]
 

@@ -207,3 +207,25 @@ def test_inverse_render_example_converges(devices):
     first = float(lines[0].split("loss")[1].split()[0])
     last = float(lines[-1].split("loss")[1].split()[0])
     assert last < first * 0.5, out
+
+
+def test_sharded_matches_local_with_texture_and_area_light(devices):
+    # round-5 shading features under shard_map: UV texture modulation and
+    # emissive-triangle NEE must be bit-identical sharded vs local
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_render_oracle import _area_light_scene, _textured_scene
+
+    mesh = make_device_mesh()
+    cam = look_at_camera((0.0, 0.6, 0.5), (0.0, -0.2, -4.0), h_fov=0.9,
+                         aspect=4 / 3)
+    for scene, nee in ((_textured_scene(), False),
+                       (_area_light_scene(), True)):
+        st = RenderSettings(resolution=(32, 24), samples_per_pixel=2,
+                            bounce_limit=3, nee=nee, sort_bounces=False)
+        key = jax.random.PRNGKey(11)
+        f_local = np.asarray(render(scene, cam, st, key))
+        f_shard = np.asarray(render(scene, cam, st, key, mesh=mesh))
+        np.testing.assert_array_equal(f_shard, f_local)
