@@ -374,6 +374,18 @@ def cmd_render(args) -> int:
 
     with Phase("save"):
         path = save_png(args.output, film, srgb=args.srgb)
+    if getattr(args, "aov", None):
+        from atray_tpu.render.aov import aov_preview_films, render_aovs
+
+        with Phase("aov"):
+            films = aov_preview_films(jax.jit(
+                lambda s: render_aovs(
+                    s, camera, settings.width, settings.height, accel=accel
+                )
+            )(scene))
+            for name, f in films.items():
+                apath = save_png(f"{args.aov}_{name}.png", np.asarray(f))
+                print(apath)
     rays = (
         settings.width * settings.height * settings.samples_per_pixel
         * settings.bounce_limit
@@ -440,6 +452,10 @@ def main(argv=None) -> int:
                     help="shard GEOMETRY over the device mesh (rays ride "
                          "ppermute rings) — for scenes exceeding one "
                          "chip's HBM; combines with --mesh N")
+    pr.add_argument("--aov", default=None, metavar="PREFIX",
+                    help="also write AOV films (depth/normal/albedo/"
+                         "emission) as PREFIX_<name>.png from one "
+                         "deterministic primary pass")
     pr.set_defaults(fn=cmd_render)
 
     pi = sub.add_parser("info", help="show devices / runtime info")
