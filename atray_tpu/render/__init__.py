@@ -7,3 +7,4 @@ from atray_tpu.render.wavefront import (
     trace_radiance,
 )
 from atray_tpu.render.film import linear_to_srgb, save_png, to_uint8
+from atray_tpu.render.aov import aov_preview_films, render_aovs
